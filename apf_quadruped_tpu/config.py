@@ -1,0 +1,195 @@
+"""Typed, hashable configuration tree for the whole engine.
+
+The reference scatters every gain/constant inline in C++ (see
+reference main.cpp: K_com=3000, D_com=50, tau_max=60, mu=0.5, APF gains
+0.01..0.4 in compute_Kpa, thresholds 0.34/0.07/0.06/2.0) plus compile-time
+#defines (REP_FIELD / MIN_EXIT, main.cpp:62-64).  Here they live in one
+frozen dataclass tree: every field is a float/int/bool/tuple so configs are
+hashable and can be passed as jit static arguments.
+
+All values are documented with their reference provenance (file:line in
+/root/reference) so parity can be audited.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _d(**kwargs):
+    return dataclasses.field(default_factory=lambda: kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotConfig:
+    """DogBot v4 constants.
+
+    Provenance: towr dogbot model (include/towr/models/examples/dogbot_model.h:55-94),
+    dogbot.xacro:18-26 (geometry), main.cpp:493-494 (joint limits).
+    Leg order convention everywhere in this package: (BR, BL, FL, FR) —
+    matching the reference's Jacobian row stacking (main.cpp ctrl_loop:
+    swing rows 0-2=BR, 3-5=BL, 6-8=FL, 9-11=FR).
+    The body's long axis is +y (forward); x is lateral (dogbot.xacro:23-24).
+    """
+
+    mass: float = 21.261                       # dogbot_model.h:91
+    # Rotational inertia about CoM (Ixx, Iyy, Izz, Ixy, Ixz, Iyz), dogbot_model.h:92
+    inertia: Tuple[float, ...] = (1.6375, 0.7098, 2.0399, -2.9e-4, -1.8e-4, 0.0738)
+    # Nominal stance in base frame, per leg (x lateral, y longitudinal), dogbot_model.h:55-81
+    # and the APF per-foot goal offsets (main.cpp:1171-1174).
+    stance_x: float = 0.186571
+    stance_y: float = 0.289186
+    stance_z: float = -0.402                   # dogbot_model.h (nominal height ~0.4)
+    max_dev: Tuple[float, float, float] = (0.1, 0.15, 0.06)  # dogbot_model.h:80
+    # Leg geometry (dogbot.xacro:22-27)
+    hip_offset_side: float = 0.088             # body centreline -> hip roll axis (x)
+    hip_offset: float = 0.2875                 # body midpoint -> hip (y)
+    leg_offset_side: float = 0.18675           # centreline -> upper-leg origin (x)
+    upper_leg_len: float = 0.315
+    lower_leg_len: float = 0.3
+    foot_radius: float = 0.028                 # dogbot.xacro:355-372
+    # Actuation limits (dogbot.xacro:242-251)
+    tau_max: float = 60.0
+    qd_max: float = 6.0
+    # Joint limits, 12 joints in reference order (4 roll, then pitch/knee pairs),
+    # main.cpp:493-494.
+    q_min: Tuple[float, ...] = (-1.75, -1.75, -1.75, -1.75, -1.58, -2.62,
+                                -3.15, -0.02, -1.58, -2.62, -3.15, -0.02)
+    q_max: Tuple[float, ...] = (1.75, 1.75, 1.75, 1.75, 3.15, 0.02,
+                                1.58, 2.62, 3.15, 0.02, 1.58, 2.62)
+    # Standing height used by the navigation layer (main.cpp:1183 / 1415)
+    com_height: float = 0.4
+    f_normal_max: float = 1000.0               # towr parameters.cc:48
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitConfig:
+    """Gait timing. Provenance: towr quadruped_gait_generator.cc:278-311
+    (trot t_step 0.3 / t_stand 0.2), main.cpp:1424/1438 (replan horizons
+    0.5 s trot, 1.0 s crawl)."""
+
+    t_step: float = 0.3
+    t_stand: float = 0.2
+    trot_cycle: float = 0.5                    # one replan horizon (stand+step)
+    crawl_cycle: float = 1.0
+    control_dt: float = 0.0025                 # 400 Hz tracking (main.cpp:1107)
+    plan_dt: float = 0.025                     # MPC discretization (10 knots / 0.25 s phase)
+
+
+@dataclasses.dataclass(frozen=True)
+class ApfConfig:
+    """Artificial-potential-field navigation gains.
+
+    Provenance: compute_Kpa (main.cpp:2803-2845), repulsive fields
+    (main.cpp:1283-1296), saturations (main.cpp:2756-2800), robustness
+    EWMA (main.cpp:1273-1277), thresholds (main.cpp:1320, compute_fr 2745-2754).
+    """
+
+    kpa_x_near: float = 0.3        # |e_x| < 0.4 and trotting
+    kpa_x_far: float = 0.3
+    kpa_x_crawl: float = 0.01      # fake_crawl (slow-down) gain
+    kpa_x_far_minexit: float = 0.1
+    kpa_y_near: float = 0.4
+    kpa_y_far: float = 0.4
+    kpa_y_crawl: float = 0.01
+    kpa_y_far_minexit: float = 0.2
+    e_near_threshold: float = 0.4
+    rep_gain: float = 5.0          # f_r = 5 * rob_foot * versor (main.cpp:1292-1295)
+    rep_gain_minexit: float = 9.0  # main.cpp:1285-1288
+    lat_gain_minexit: float = 2.2
+    step_gain: float = 0.5         # p_des = p + 0.5 * f (main.cpp:1396-1407)
+    err_sat: float = 2.0           # saturate_x/y (main.cpp:2756-2800)
+    step_sat: float = 0.06         # saturate_xstep/ystep (main.cpp:2767-2789)
+    ewma_old: float = 0.35         # rob EWMA (main.cpp:1273-1276)
+    ewma_new: float = 0.65
+    comb_deadband: float = 0.07    # compute_fr (main.cpp:2745-2754)
+    crawl_threshold: float = 0.34  # mean robustness -> fake_crawl (main.cpp:1320)
+    rob_floor: float = 0.01        # 1/h > 0.01 gate on the margin integral (main.cpp:1539)
+    min_exit: bool = False         # #define MIN_EXIT 0 (main.cpp:63)
+    rep_field_in_step: bool = False  # #define REP_FIELD 0 (main.cpp:62)
+
+
+@dataclasses.dataclass(frozen=True)
+class WbcConfig:
+    """Whole-body tracking QP weights. Provenance: main.cpp:1477-1647."""
+
+    q1: float = 50.0               # CoM wrench tracking weight (main.cpp:1478)
+    k_com: float = 3000.0          # main.cpp:1499
+    d_com: float = 50.0
+    kp_swing: float = 300.0        # main.cpp:1984-1987
+    kd_swing: float = 20.0
+    slack_weight_trot: float = 1e8   # main.cpp:1751
+    slack_weight_crawl: float = 1e4  # main.cpp:2976
+    mu: float = 0.5                # friction coefficient (main.cpp:1511)
+    joint_dt: float = 0.025        # joint-limit lookahead (main.cpp:1638)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched interior-point solver settings.
+
+    Replaces qpSWIFT's settings struct (reference Auxilary.h:90-103;
+    runtime tolerances reltol=abstol=1e-2 at main.cpp:1651-1652).  The TPU
+    solver runs a FIXED number of Mehrotra predictor-corrector iterations
+    with per-batch convergence masks (no data-dependent early exit under jit).
+    """
+
+    iters: int = 15
+    reltol: float = 1e-2
+    abstol: float = 1e-2
+    frac_to_boundary: float = 0.99   # qpSWIFT.c:588-590
+    sigma_pow: float = 3.0           # sigma = min(1, rho)^3 (qpSWIFT.c:567)
+    static_reg: float = 1e-8         # diagonal regularization of H and Schur
+    eq_reg: float = 1e-8             # regularization making masked eq rows benign
+    refine_steps: int = 1            # iterative refinement of KKT solves
+    min_slack: float = 1e-10
+    w_clip: float = 1e8              # clamp on the z/s scaling (conditioning)
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """SRB MPC over the gait horizon (the TOWR+IPOPT replacement)."""
+
+    horizon: int = 20
+    dt: float = 0.025              # knot spacing: horizon*dt = 0.5 s trot cycle
+    w_pos: float = 400.0
+    w_att: float = 150.0
+    w_vel: float = 10.0
+    w_omega: float = 2.0
+    w_force: float = 1e-5          # force magnitude regularizer
+    swing_height: float = 0.1      # apex of swing-foot spline
+    mu: float = 0.5
+    fz_max: float = 1000.0         # towr parameters.cc:48
+    fz_min: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Pure-JAX simulation harness (the Gazebo replacement)."""
+
+    dt: float = 0.0025             # inner physics step
+    substeps: int = 2
+    ground_kp: float = 30000.0     # contact spring (scaled from dogbot.xacro:28-29 kp=1e6)
+    ground_kd: float = 300.0
+    mu_default: float = 0.8
+    terrain_extent: float = 6.0    # metres, mu-map half-size
+    terrain_res: int = 128         # mu-map grid resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
+    gait: GaitConfig = dataclasses.field(default_factory=GaitConfig)
+    apf: ApfConfig = dataclasses.field(default_factory=ApfConfig)
+    wbc: WbcConfig = dataclasses.field(default_factory=WbcConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    mpc: MpcConfig = dataclasses.field(default_factory=MpcConfig)
+    sim: SimConfig = dataclasses.field(default_factory=SimConfig)
+
+    def replace(self, **kwargs) -> "EngineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config() -> EngineConfig:
+    return EngineConfig()

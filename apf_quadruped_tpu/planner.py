@@ -1,0 +1,220 @@
+"""Convex SRB MPC over the gait horizon — the TOWR + IPOPT replacement.
+
+The reference plans each replan cycle by solving a nonconvex NLP (TOWR
+phase-based trajectory optimization, reference src/topt.cpp:5-101, solved
+by IPOPT with a 20 s CPU budget while Gazebo is PAUSED, main.cpp:1250/1441).
+Here the same role — a dynamically-consistent CoM/force trajectory over a
+0.5-1 s gait cycle respecting friction cones — is filled by a CONVEX
+fixed-structure MPC:
+
+  * gait table supplies the contact schedule (gait.horizon_contacts), the
+    APF layer supplies footstep targets and the CoM goal — what IPOPT's
+    nonconvex foothold search provided (SURVEY.md §7.4);
+  * per-knot linearized SRB dynamics (models.srb.linearize_discrete) are
+    CONDENSED into a dense QP in the stacked contact forces
+    U = [u_0 ... u_{H-1}] (n = 12H), eliminating the state sequence;
+  * friction pyramid + normal-force bounds per stance foot per knot
+    (towr force_constraint.cc:40-110 semantics) become masked inequality
+    rows; swing feet get masked-off rows and zeroed dynamics columns, so
+    their forces decouple and the force regularizer pins them to exactly 0
+    — gait switching changes data, never shapes;
+  * one batched IPM call (ops.qpsolve) solves thousands of scenarios in
+    lockstep — no 20 s escape hatch needed, and the sim never pauses.
+
+Everything is shape-static given (horizon, dt) from MpcConfig, so jit
+traces once per config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .models import srb
+from .ops.qpsolve import QPData, QPSolution, solve_qp
+
+ROWS_PER_FOOT = 6   # fz<=fmax, -fz<=-fmin, +-fx-mu fz<=0, +-fy-mu fz<=0
+
+
+class MpcRefs(NamedTuple):
+    """Per-knot references and schedule feeding one MPC solve."""
+
+    contacts: jnp.ndarray    # (.., H, 4) stance masks
+    feet_w: jnp.ndarray      # (.., H, 4, 3) foothold positions (world)
+    x_ref: jnp.ndarray       # (.., H, NX) state references
+    yaw_ref: jnp.ndarray     # (..,) linearization yaw
+
+
+class MpcPlan(NamedTuple):
+    forces: jnp.ndarray      # (.., H, 4, 3) planned contact forces
+    states: jnp.ndarray      # (.., H, NX) predicted state trajectory
+    sol: QPSolution          # solver diagnostics (converged, gap, ...)
+
+
+def foothold_schedule(feet_now_w, step_targets_w, contacts):
+    """(.., H, 4, 3) per-knot foot positions: a leg keeps its current world
+    position until its first swing knot in the horizon, then sits at its APF
+    step target.  (The lever arm only matters at stance knots.)"""
+    swung = jnp.cumsum(1.0 - contacts, axis=-2) > 0          # (.., H, 4)
+    return jnp.where(swung[..., None],
+                     step_targets_w[..., None, :, :],
+                     feet_now_w[..., None, :, :])
+
+
+def reference_trajectory(cfg: EngineConfig, rpy0, com0, com_des, yaw_des,
+                         horizon_T):
+    """(.., H, NX) linear CoM ramp to the APF goal at standing height.
+
+    Mirrors what the reference passes to TOWR: initial base state, final
+    base = com_des with the current orientation (topt.cpp:12-42).
+    """
+    H = cfg.mpc.horizon
+    dtype = com0.dtype
+    tau = (jnp.arange(1, H + 1, dtype=dtype) / H)            # (H,)
+    com_k = com0[..., None, :] + (com_des - com0)[..., None, :] * tau[..., None]
+    v_ref = (com_des - com0) / horizon_T[..., None]
+    rpy_k = jnp.stack([jnp.zeros_like(yaw_des), jnp.zeros_like(yaw_des),
+                       yaw_des], axis=-1)
+    x = jnp.zeros(com_k.shape[:-1] + (srb.NX,), dtype)
+    x = x.at[..., 0:3].set(jnp.broadcast_to(rpy_k[..., None, :], com_k.shape))
+    x = x.at[..., 3:6].set(com_k)
+    x = x.at[..., 9:12].set(jnp.broadcast_to(v_ref[..., None, :], com_k.shape))
+    x = x.at[..., 12].set(1.0)
+    return x
+
+
+def _condense(A, B, x0):
+    """Condense x_{k+1} = A_k x_k + B_k u_k over the horizon.
+
+    A: (.., H, NX, NX), B: (.., H, NX, NU), x0: (.., NX).
+    Returns Sx_x0: (.., H, NX) free response, Su: (.., H, NX, H*NU) with
+    x_k = Sx_x0[k] + Su[k] @ U  (x_k is the state AFTER k+1 steps).
+    Built by a scan carrying the running row [free, forced]: one
+    (NX x NX)@(NX x H*NU) matmul per stage — MXU-shaped work.
+    """
+    Hh = A.shape[-3]
+    NX, NU = srb.NX, srb.NU
+    batch = x0.shape[:-1]
+    dtype = x0.dtype
+
+    eyes = jnp.eye(NU, dtype=dtype)
+
+    def step(carry, inp):
+        free, forced = carry                   # (.., NX), (.., NX, H*NU)
+        Ak, Bk, k = inp
+        free = jnp.einsum("...ij,...j->...i", Ak, free)
+        forced = jnp.einsum("...ij,...jm->...im", Ak, forced)
+        # insert B_k into block column k
+        col = jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros(batch + (NX, Hh * NU), dtype), Bk, k * NU, axis=-1)
+        forced = forced + col
+        return (free, forced), (free, forced)
+
+    A_t = jnp.moveaxis(A, -3, 0)
+    B_t = jnp.moveaxis(B, -3, 0)
+    ks = jnp.arange(Hh)
+    (_, _), (frees, forceds) = jax.lax.scan(
+        step, (x0, jnp.zeros(batch + (NX, Hh * NU), dtype)),
+        (A_t, B_t, ks))
+    Sx_x0 = jnp.moveaxis(frees, 0, -2)                     # (.., H, NX)
+    Su = jnp.moveaxis(forceds, 0, -3)                      # (.., H, NX, H*NU)
+    return Sx_x0, Su
+
+
+def _pyramid_rows(cfg: EngineConfig, contacts, dtype):
+    """Friction-pyramid inequality blocks per knot.
+
+    contacts: (.., H, 4).  Returns G_blk (.., H, 24, 12), h_blk (.., H, 24),
+    mask (.., H, 24): 6 rows per foot, masked by stance (towr
+    force_constraint.cc:84-109 pyramid with mu from MpcConfig; normal-force
+    bound f <= fz_max, parameters.cc:48).
+    """
+    mu = cfg.mpc.mu
+    rows = []
+    rhs = []
+    for i in range(4):
+        e = [0.0] * 12
+
+        def row(cx, cy, cz, r):
+            v = list(e)
+            v[3 * i + 0] = cx
+            v[3 * i + 1] = cy
+            v[3 * i + 2] = cz
+            rows.append(v)
+            rhs.append(r)
+
+        row(0.0, 0.0, 1.0, cfg.mpc.fz_max)     # fz <= fz_max
+        row(0.0, 0.0, -1.0, -cfg.mpc.fz_min)   # -fz <= -fz_min
+        row(1.0, 0.0, -mu, 0.0)                # fx - mu fz <= 0
+        row(-1.0, 0.0, -mu, 0.0)
+        row(0.0, 1.0, -mu, 0.0)
+        row(0.0, -1.0, -mu, 0.0)
+    G_blk = jnp.asarray(rows, dtype)                       # (24, 12)
+    h_blk = jnp.asarray(rhs, dtype)                        # (24,)
+    mask = jnp.repeat(contacts, ROWS_PER_FOOT, axis=-1)    # (.., H, 24)
+    batch_h = contacts.shape[:-1]
+    G = jnp.broadcast_to(G_blk, batch_h + G_blk.shape)
+    h = jnp.broadcast_to(h_blk, batch_h + h_blk.shape)
+    return G, h, mask
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
+    """One batched MPC solve.
+
+    state0: (.., NX) packed SRB state (srb.pack_state).
+    refs: contact schedule, foothold schedule, state references.
+    """
+    mpc = cfg.mpc
+    Hh = mpc.horizon
+    NX, NU = srb.NX, srb.NU
+    dtype = state0.dtype
+    batch = state0.shape[:-1]
+
+    # per-knot linearizations
+    yaw = refs.yaw_ref
+    r_ref = refs.x_ref[..., 3:6]
+    A, B = jax.vmap(
+        lambda k: srb.linearize_discrete(
+            cfg.robot, yaw, r_ref[..., k, :], refs.feet_w[..., k, :, :],
+            refs.contacts[..., k, :], mpc.dt),
+        out_axes=(-3, -3))(jnp.arange(Hh))
+
+    Sx_x0, Su = _condense(A, B, state0)          # (..,H,NX), (..,H,NX,H*NU)
+
+    # cost: sum_k |x_k - xref_k|^2_Q + |u|^2_R
+    q_diag = jnp.asarray(
+        [mpc.w_att] * 3 + [mpc.w_pos] * 3 + [mpc.w_omega] * 3
+        + [mpc.w_vel] * 3 + [0.0], dtype)
+    err0 = Sx_x0 - refs.x_ref                    # (.., H, NX)
+    SuQ = Su * q_diag[..., None]                 # scale rows
+    P = jnp.einsum("...hni,...hnj->...ij", SuQ, Su)
+    P = P + mpc.w_force * jnp.eye(Hh * NU, dtype=dtype)
+    qv = jnp.einsum("...hni,...hn->...i", SuQ, err0)
+
+    # friction-pyramid inequalities, block-diagonal over knots
+    G_blk, h_blk, mask_blk = _pyramid_rows(cfg, refs.contacts, dtype)
+    m_total = Hh * 4 * ROWS_PER_FOOT
+    G = jnp.zeros(batch + (m_total, Hh * NU), dtype)
+    for k in range(Hh):
+        G = G.at[..., k * 24:(k + 1) * 24, k * NU:(k + 1) * NU].set(
+            G_blk[..., k, :, :])
+    h = h_blk.reshape(batch + (m_total,))
+    ineq_mask = mask_blk.reshape(batch + (m_total,))
+
+    # no equality rows (swing forces are decoupled + regularized to zero)
+    Aeq = jnp.zeros(batch + (1, Hh * NU), dtype)
+    beq = jnp.zeros(batch + (1,), dtype)
+    em = jnp.zeros(batch + (1,), dtype)
+
+    qp = QPData(P=P, q=qv, A=Aeq, b=beq, G=G, h=h,
+                eq_mask=em, ineq_mask=ineq_mask)
+    sol = solve_qp(qp, cfg.solver)
+
+    U = sol.x.reshape(batch + (Hh, 4, 3))
+    states = Sx_x0 + jnp.einsum("...hnm,...m->...hn", Su, sol.x)
+    return MpcPlan(forces=U, states=states, sol=sol)
