@@ -168,10 +168,12 @@ class MpcConfig:
 class SimConfig:
     """Pure-JAX simulation harness (the Gazebo replacement)."""
 
-    dt: float = 0.0025             # inner physics step
-    substeps: int = 2
-    ground_kp: float = 30000.0     # contact spring (scaled from dogbot.xacro:28-29 kp=1e6)
-    ground_kd: float = 300.0
+    dt: float = 0.0025             # control-rate step (400 Hz)
+    substeps: int = 4              # physics substeps per control step
+    ground_kp: float = 20000.0     # contact spring (scaled from dogbot.xacro:28-29 kp=1e6)
+    ground_kd: float = 200.0       # normal damping
+    tangent_kp: float = 20000.0    # tangential anchor-spring stiffness
+    tangent_kd: float = 100.0      # tangential damping
     mu_default: float = 0.8
     terrain_extent: float = 6.0    # metres, mu-map half-size
     terrain_res: int = 128         # mu-map grid resolution

@@ -1,0 +1,209 @@
+"""Whole-body tracking QP (L4) — one mask-parameterized formulation.
+
+The reference inlines FIVE nearly-identical 400 Hz QP formulations (full
+stance A/B, trot swing BR+FL / BL+FR, crawl — reference main.cpp:1470-1693,
+1716-2053, 2201-2453, 2476-2738, qpproblemcrawl 2915-3266), differing only
+in which legs are stance vs swing.  Here there is ONE formulation whose
+shapes never change; the stance mask is data:
+
+decision x in R^30 = [udot(18); f(12)]   (mixed-coordinate accelerations +
+                                          all four contact forces)
+cost (reference main.cpp:1477-1573):
+    || W(x) - W_com_des ||^2_Q1 + ||x||^2 + w_sw * || a_sw(x) - a_sw_des ||^2
+  where W(x) = base rows of J_c' f (the CoM wrench the forces produce),
+  W_com_des = K_com dx + D_com dv + m g + M_bb a_des  (main.cpp:1572),
+  and the swing-foot tracking term replaces the reference's 1e8-weighted
+  slack variables (main.cpp:1751, 1864-1875) by an equivalent soft cost —
+  no variable-layout switching between gait phases.
+equalities (masked):
+    6   floating-base dynamics  (M udot + h - J_c' f)[0:6] = 0
+        (the centroidal rows, main.cpp:1579-1582)
+    12  stance no-slip  J_c udot = -Jdot u        [stance rows only]
+    12  swing force zero  f_i = 0                 [swing rows only]
+inequalities (fixed 68 rows, masked):
+    20  friction pyramid (t +- mu n)'f <= 0, -f_z <= 0 per stance foot
+        (cfr block, main.cpp:1601-1625)
+    24  torque limits  |(M udot + h - J_c' f)[6:18]| <= tau_max
+        (main.cpp:1630-1635)
+    24  joint acceleration limits from position limits:
+        qdd in [2/dt^2 (q_min - q - dt qd), 2/dt^2 (q_max - q - dt qd)]
+        (main.cpp:1638-1647)
+
+Outputs torques tau = (M udot + h - J_c' f)[6:18] (main.cpp:1667).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .models import rbd
+from .ops.qpsolve import QPData, QPSolution, solve_qp
+
+NX = 30      # 18 accelerations + 12 forces
+NEQ = 30     # 6 dynamics + 12 no-slip + 12 swing-force-zero
+NINEQ = 68   # 20 pyramid + 24 torque + 24 joint-accel
+
+
+class WbcState(NamedTuple):
+    """Robot state snapshot feeding one WBC solve (single sample;
+    vmap over leading axes for batches)."""
+
+    p_base: jnp.ndarray      # (3,) world base position
+    R_wb: jnp.ndarray        # (3,3) world_R_base
+    q: jnp.ndarray           # (12,) joint angles (leg-major)
+    u: jnp.ndarray           # (18,) mixed generalized velocity
+    contact: jnp.ndarray     # (4,) stance mask (1 = stance)
+
+
+class WbcRefs(NamedTuple):
+    """Tracking references at the current tick (from the MPC plan +
+    swing splines)."""
+
+    com_pos: jnp.ndarray     # (3,) desired CoM position
+    com_vel: jnp.ndarray     # (3,)
+    com_acc: jnp.ndarray     # (3,)
+    rpy: jnp.ndarray         # (3,) desired base orientation
+    omega: jnp.ndarray       # (3,) desired angular velocity (world)
+    omega_dot: jnp.ndarray   # (3,)
+    swing_pos: jnp.ndarray   # (4,3) desired swing-foot positions (world)
+    swing_vel: jnp.ndarray   # (4,3)
+    swing_acc: jnp.ndarray   # (4,3)
+
+
+class WbcOutput(NamedTuple):
+    tau: jnp.ndarray         # (12,) joint torques
+    udot: jnp.ndarray        # (18,)
+    forces: jnp.ndarray      # (4,3)
+    sol: QPSolution
+
+
+def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
+    w = cfg.wbc
+    dtype = st.q.dtype
+    c4 = st.contact
+
+    M = rbd.mass_matrix(cfg.robot, st.R_wb, st.q)
+    h = rbd.bias_forces(cfg.robot, st.p_base, st.R_wb, st.q, st.u)
+    Jc = rbd.contact_jacobian_mixed(cfg.robot, st.p_base, st.R_wb, st.q)
+    jdu = rbd.contact_bias_mixed(cfg.robot, st.p_base, st.R_wb, st.q,
+                                 st.u).reshape(12)
+    com = rbd.com_position(cfg.robot, st.p_base, st.R_wb, st.q)
+    Jcom = rbd.com_jacobian(cfg.robot, st.R_wb, st.q)
+    feet = rbd.foot_positions_world(cfg.robot, st.p_base, st.R_wb, st.q)
+
+    # ---- cost -------------------------------------------------------
+    # Force -> wrench ABOUT THE CoM (the reference works in CoM coordinates
+    # throughout, main.cpp:795, so its gravity wrench has no moment term;
+    # levers here are p_foot - com accordingly).
+    from .ops.rotations import skew
+    lever = feet - com[None, :]                          # (4, 3)
+    Tf = jnp.zeros((6, 12), dtype)
+    for i in range(4):
+        Tf = Tf.at[0:3, 3 * i:3 * i + 3].set(jnp.eye(3, dtype=dtype))
+        Tf = Tf.at[3:6, 3 * i:3 * i + 3].set(skew(lever[i]))
+    Ts = jnp.concatenate([jnp.zeros((6, 18), dtype), Tf], axis=1)  # (6,30)
+
+    from .ops.rotations import rot_to_rpy
+    rpy_now = rot_to_rpy(st.R_wb)
+    dx = jnp.concatenate([ref.com_pos - com, ref.rpy - rpy_now])
+    v_com = Jcom @ st.u
+    dv = jnp.concatenate([ref.com_vel - v_com, ref.omega - st.u[3:6]])
+    a_des = jnp.concatenate([ref.com_acc, ref.omega_dot])
+    g6 = jnp.zeros(6, dtype).at[2].set(rbd.GRAVITY)
+    I_com = rbd.composite_inertia_com(cfg.robot, st.p_base, st.R_wb, st.q)
+    M_c = jnp.zeros((6, 6), dtype)
+    M_c = M_c.at[0:3, 0:3].set(rbd.TOTAL_MASS * jnp.eye(3, dtype=dtype))
+    M_c = M_c.at[3:6, 3:6].set(I_com)
+    Wdes = (w.k_com * dx + w.d_com * dv + rbd.TOTAL_MASS * g6
+            + M_c @ a_des)                                # main.cpp:1572
+
+    P = w.q1 * (Ts.T @ Ts) + jnp.eye(NX, dtype=dtype)
+    qv = -w.q1 * (Ts.T @ Wdes)
+
+    # swing-foot tracking as soft cost (replaces the 1e8 slack variables):
+    # rows J_c udot = a_sw_des - jdu  weighted per swing leg
+    a_sw_des = (ref.swing_acc
+                + w.kd_swing * (ref.swing_vel
+                                - (Jc @ st.u).reshape(4, 3))
+                + w.kp_swing * (ref.swing_pos - feet))    # main.cpp:1988
+    sw_mask = (1.0 - c4)[:, None].repeat(3, 1).reshape(12)
+    A_sw = jnp.concatenate([Jc, jnp.zeros((12, 12), dtype)], axis=1)
+    b_sw = a_sw_des.reshape(12) - jdu
+    wsw = w.slack_weight_trot
+    P = P + wsw * (A_sw.T @ (sw_mask[:, None] * A_sw))
+    qv = qv - wsw * (A_sw.T @ (sw_mask * b_sw))
+
+    # ---- equalities -------------------------------------------------
+    A = jnp.zeros((NEQ, NX), dtype)
+    b = jnp.zeros(NEQ, dtype)
+    # 6 floating-base dynamics rows
+    A = A.at[0:6, 0:18].set(M[0:6, :])
+    A = A.at[0:6, 18:30].set(-Jc[:, 0:6].T)
+    b = b.at[0:6].set(-h[0:6])
+    # 12 stance no-slip rows
+    A = A.at[6:18, 0:18].set(Jc)
+    b = b.at[6:18].set(-jdu)
+    # 12 swing force-zero rows
+    A = A.at[18:30, 18:30].set(jnp.eye(12, dtype=dtype))
+    st_mask = c4[:, None].repeat(3, 1).reshape(12)
+    eq_mask = jnp.concatenate([jnp.ones(6, dtype), st_mask, 1.0 - st_mask])
+
+    # ---- inequalities ----------------------------------------------
+    G = jnp.zeros((NINEQ, NX), dtype)
+    hvec = jnp.zeros(NINEQ, dtype)
+    mu = w.mu
+    # friction pyramid rows (5 per foot), main.cpp:1601-1625
+    cfr = jnp.asarray([[1.0, 0.0, -mu],
+                       [0.0, 1.0, -mu],
+                       [-1.0, 0.0, -mu],
+                       [0.0, -1.0, -mu],
+                       [0.0, 0.0, -1.0]], dtype)
+    for i in range(4):
+        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(cfr)
+    pyr_mask = c4[:, None].repeat(5, 1).reshape(20)
+    # torque rows: tau = (M udot + h - Jc' f)[6:18]
+    tau_rows_u = M[6:18, :]
+    tau_rows_f = -Jc[:, 6:18].T
+    G = G.at[20:32, 0:18].set(tau_rows_u)
+    G = G.at[20:32, 18:30].set(tau_rows_f)
+    hvec = hvec.at[20:32].set(cfg.robot.tau_max - h[6:18])
+    G = G.at[32:44, 0:18].set(-tau_rows_u)
+    G = G.at[32:44, 18:30].set(-tau_rows_f)
+    hvec = hvec.at[32:44].set(cfg.robot.tau_max + h[6:18])
+    # joint acceleration limits, main.cpp:1638-1647
+    dt2 = 2.0 / (w.joint_dt ** 2)
+    from .models.dogbot import joint_limits
+    qmin_np, qmax_np = joint_limits(cfg.robot)   # leg-major, from the xacro
+    qmin = jnp.asarray(qmin_np, dtype)
+    qmax = jnp.asarray(qmax_np, dtype)
+    ddqmax = dt2 * (qmax - st.q - w.joint_dt * st.u[6:18])
+    ddqmin = dt2 * (qmin - st.q - w.joint_dt * st.u[6:18])
+    G = G.at[44:56, 6:18].set(jnp.eye(12, dtype=dtype))
+    hvec = hvec.at[44:56].set(ddqmax)
+    G = G.at[56:68, 6:18].set(-jnp.eye(12, dtype=dtype))
+    hvec = hvec.at[56:68].set(-ddqmin)
+    ineq_mask = jnp.concatenate([pyr_mask, jnp.ones(48, dtype)])
+
+    return QPData(P=P, q=qv, A=A, b=b, G=G, h=hvec,
+                  eq_mask=eq_mask, ineq_mask=ineq_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> WbcOutput:
+    """One WBC tick (single sample — vmap for batches; everything inside
+    is shape-static)."""
+    qp = _build_qp(cfg, st, ref)
+    sol = solve_qp(qp, cfg.solver)
+    udot = sol.x[0:18]
+    f = sol.x[18:30]
+    M = rbd.mass_matrix(cfg.robot, st.R_wb, st.q)
+    h = rbd.bias_forces(cfg.robot, st.p_base, st.R_wb, st.q, st.u)
+    Jc = rbd.contact_jacobian_mixed(cfg.robot, st.p_base, st.R_wb, st.q)
+    tau = (M @ udot + h - Jc.T @ f)[6:18]                 # main.cpp:1667
+    tau = jnp.clip(tau, -cfg.robot.tau_max, cfg.robot.tau_max)
+    return WbcOutput(tau=tau, udot=udot, forces=f.reshape(4, 3), sol=sol)
