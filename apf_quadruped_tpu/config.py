@@ -153,6 +153,7 @@ class MpcConfig:
 
     horizon: int = 20
     dt: float = 0.025              # knot spacing: horizon*dt = 0.5 s trot cycle
+    backend: str = "riccati"       # "riccati" (banded LQR IPM) | "condensed"
     w_pos: float = 400.0
     w_att: float = 150.0
     w_vel: float = 10.0

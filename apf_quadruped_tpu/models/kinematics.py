@@ -34,8 +34,8 @@ def leg_fk(cfg: RobotConfig, signs: jnp.ndarray, hip: jnp.ndarray,
     p1 = jnp.stack(
         [(cfg.leg_offset_side - cfg.hip_offset_side) * sx,
          jnp.zeros_like(sx), jnp.zeros_like(sx)], axis=-1)
-    p2 = jnp.array([0.0, 0.0, -cfg.upper_leg_len])
-    p3 = jnp.array([0.0, -0.035, -cfg.lower_leg_len])
+    p2 = jnp.asarray([0.0, 0.0, -cfg.upper_leg_len], q.dtype)
+    p3 = jnp.asarray([0.0, -0.035, -cfg.lower_leg_len], q.dtype)
     inner = p2 + jnp.einsum("...ij,j->...i", r3, p3)
     mid = p1 + jnp.einsum("...ij,...j->...i", r2, inner)
     return hip + jnp.einsum("...ij,...j->...i", r1, mid)
@@ -43,8 +43,8 @@ def leg_fk(cfg: RobotConfig, signs: jnp.ndarray, hip: jnp.ndarray,
 
 def fk(cfg: RobotConfig, q: jnp.ndarray) -> jnp.ndarray:
     """All-leg forward kinematics. q: (..., 12) leg-major -> (..., 4, 3) feet in base frame."""
-    signs = jnp.asarray(LEG_SIGNS)
-    hips = jnp.asarray(hip_positions(cfg))
+    signs = jnp.asarray(LEG_SIGNS, q.dtype)
+    hips = jnp.asarray(hip_positions(cfg), q.dtype)
     qq = q.reshape(q.shape[:-1] + (4, 3))
     f = jax.vmap(lambda s, h, ql: leg_fk(cfg, s, h, ql),
                  in_axes=(0, 0, -2), out_axes=-2)
@@ -53,8 +53,8 @@ def fk(cfg: RobotConfig, q: jnp.ndarray) -> jnp.ndarray:
 
 def leg_jacobian(cfg: RobotConfig, leg: int, q_leg: jnp.ndarray) -> jnp.ndarray:
     """3x3 Jacobian d(foot pos)/d(q_leg) in base frame for a static leg index."""
-    signs = jnp.asarray(LEG_SIGNS[leg])
-    hip = jnp.asarray(hip_positions_static(cfg)[leg])
+    signs = jnp.asarray(LEG_SIGNS[leg], q_leg.dtype)
+    hip = jnp.asarray(hip_positions_static(cfg)[leg], q_leg.dtype)
     return jax.jacfwd(lambda ql: leg_fk(cfg, signs, hip, ql))(q_leg)
 
 
@@ -64,8 +64,8 @@ def hip_positions_static(cfg: RobotConfig) -> np.ndarray:
 
 def jacobians(cfg: RobotConfig, q: jnp.ndarray) -> jnp.ndarray:
     """(.., 4, 3, 3) per-leg foot Jacobians in base frame. q: (..., 12)."""
-    signs = jnp.asarray(LEG_SIGNS)
-    hips = jnp.asarray(hip_positions(cfg))
+    signs = jnp.asarray(LEG_SIGNS, q.dtype)
+    hips = jnp.asarray(hip_positions(cfg), q.dtype)
     qq = q.reshape(q.shape[:-1] + (4, 3))
 
     def one(s, h, ql):
@@ -82,8 +82,8 @@ def jdot_qd(cfg: RobotConfig, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
     the same quantity iDynTree's getFrameBiasAcc supplies to the reference
     (main.cpp:959-971), restricted to the leg chain.
     """
-    signs = jnp.asarray(LEG_SIGNS)
-    hips = jnp.asarray(hip_positions(cfg))
+    signs = jnp.asarray(LEG_SIGNS, q.dtype)
+    hips = jnp.asarray(hip_positions(cfg), q.dtype)
     qq = q.reshape(q.shape[:-1] + (4, 3))
     qqd = qd.reshape(qd.shape[:-1] + (4, 3))
 
@@ -121,7 +121,7 @@ def contact_jacobian(cfg: RobotConfig, q: jnp.ndarray, R_wb: jnp.ndarray,
     return J
 
 
-def stance_ik(cfg: RobotConfig, targets_b: np.ndarray, iters: int = 30) -> np.ndarray:
+def stance_ik(cfg: RobotConfig, targets_b, iters: int = 30) -> jnp.ndarray:
     """(12,) joint angles whose FK hits `targets_b` ((4,3) base-frame feet).
 
     Damped-Newton on the analytic FK; used for initial poses (the analogue of
@@ -148,4 +148,4 @@ def stance_ik(cfg: RobotConfig, targets_b: np.ndarray, iters: int = 30) -> np.nd
         return qv + dq, None
 
     qj, _ = jax.lax.scan(step, qj, None, length=iters)
-    return np.asarray(qj)
+    return qj       # jnp array: stays traceable when called under jit

@@ -254,8 +254,12 @@ def _solve_qp_impl(qp: QPData, cfg: SolverConfig) -> QPSolution:
         s = jnp.maximum(s + alpha * ds, min_slack)
         return (x, y, z, s, done, it_conv, it + 1), None
 
-    done0 = jnp.zeros(batch, bool)
-    it0 = jnp.full(batch, cfg.iters, jnp.int32)
+    # derive inits from the full problem data so their device-varying axes
+    # match the loop outputs under shard_map (fresh zeros are "unvarying");
+    # qnorm/bnorm/hnorm touch every input array that can carry sharding
+    seed0 = qnorm + bnorm + hnorm + jnp.sum(jnp.abs(x), axis=-1)
+    done0 = seed0 < 0.0                                    # all-False
+    it0 = cfg.iters + (0.0 * seed0).astype(jnp.int32)
     (x, y, z, s, done, it_conv, _), _ = jax.lax.scan(
         body, (x, y, z, s, done0, it0, jnp.int32(0)), None, length=cfg.iters)
 

@@ -117,22 +117,25 @@ def _condense(A, B, x0):
     A_t = jnp.moveaxis(A, -3, 0)
     B_t = jnp.moveaxis(B, -3, 0)
     ks = jnp.arange(Hh)
-    (_, _), (frees, forceds) = jax.lax.scan(
-        step, (x0, jnp.zeros(batch + (NX, Hh * NU), dtype)),
-        (A_t, B_t, ks))
+    # derive the zero init from x0 so its device-varying axes match the
+    # scan output under shard_map (plain zeros are "unvarying" and trip
+    # the scan carry-type check on a sharded mesh)
+    forced0 = jnp.zeros(batch + (NX, Hh * NU), dtype) + 0.0 * x0[..., :, None]
+    (_, _), (frees, forceds) = jax.lax.scan(step, (x0, forced0),
+                                            (A_t, B_t, ks))
     Sx_x0 = jnp.moveaxis(frees, 0, -2)                     # (.., H, NX)
     Su = jnp.moveaxis(forceds, 0, -3)                      # (.., H, NX, H*NU)
     return Sx_x0, Su
 
 
-def _pyramid_rows(cfg: EngineConfig, contacts, dtype):
-    """Friction-pyramid inequality blocks per knot.
-
-    contacts: (.., H, 4).  Returns G_blk (.., H, 24, 12), h_blk (.., H, 24),
-    mask (.., H, 24): 6 rows per foot, masked by stance (towr
-    force_constraint.cc:84-109 pyramid with mu from MpcConfig; normal-force
-    bound f <= fz_max, parameters.cc:48).
+def _pyramid_constants(cfg: EngineConfig):
+    """STATIC friction-pyramid data: the pyramid coefficients are identical
+    at every knot (towr force_constraint.cc:84-109 with mu from MpcConfig;
+    normal bound fz <= fz_max, parameters.cc:48) — only the stance MASK is
+    per-scenario data.  Returns numpy (24,12) block and (24,) rhs.
     """
+    import numpy as np
+
     mu = cfg.mpc.mu
     rows = []
     rhs = []
@@ -153,13 +156,7 @@ def _pyramid_rows(cfg: EngineConfig, contacts, dtype):
         row(-1.0, 0.0, -mu, 0.0)
         row(0.0, 1.0, -mu, 0.0)
         row(0.0, -1.0, -mu, 0.0)
-    G_blk = jnp.asarray(rows, dtype)                       # (24, 12)
-    h_blk = jnp.asarray(rhs, dtype)                        # (24,)
-    mask = jnp.repeat(contacts, ROWS_PER_FOOT, axis=-1)    # (.., H, 24)
-    batch_h = contacts.shape[:-1]
-    G = jnp.broadcast_to(G_blk, batch_h + G_blk.shape)
-    h = jnp.broadcast_to(h_blk, batch_h + h_blk.shape)
-    return G, h, mask
+    return np.asarray(rows), np.asarray(rhs)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -168,7 +165,65 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
 
     state0: (.., NX) packed SRB state (srb.pack_state).
     refs: contact schedule, foothold schedule, state references.
+
+    Two interchangeable solver backends (MpcConfig.backend):
+      * "riccati" (default): stage-wise banded-LQR interior point —
+        O(H NX^3) per iteration (ops.riccati)
+      * "condensed": dense QP in stacked forces via ops.qpsolve —
+        O((12H)^3) per iteration; retained for cross-validation
     """
+    if cfg.mpc.backend == "riccati":
+        return _plan_riccati(cfg, state0, refs)
+    return _plan_condensed(cfg, state0, refs)
+
+
+def _mpc_costs(cfg: EngineConfig, dtype):
+    mpc = cfg.mpc
+    q_diag = jnp.asarray(
+        [mpc.w_att] * 3 + [mpc.w_pos] * 3 + [mpc.w_omega] * 3
+        + [mpc.w_vel] * 3 + [0.0], dtype)
+    return q_diag
+
+
+def _linearizations(cfg: EngineConfig, refs: MpcRefs):
+    yaw = refs.yaw_ref
+    r_ref = refs.x_ref[..., 3:6]
+    return jax.vmap(
+        lambda k: srb.linearize_discrete(
+            cfg.robot, yaw, r_ref[..., k, :], refs.feet_w[..., k, :, :],
+            refs.contacts[..., k, :], cfg.mpc.dt),
+        out_axes=(-3, -3))(jnp.arange(cfg.mpc.horizon))
+
+
+def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
+    from .ops.riccati import StageQP, solve_stage_qp
+    import numpy as np
+
+    mpc = cfg.mpc
+    dtype = state0.dtype
+    A, B = _linearizations(cfg, refs)
+    q_diag = _mpc_costs(cfg, dtype)
+    Q = jnp.diag(q_diag)
+    qlin = -refs.x_ref * q_diag                     # (.., H, NX)
+    R = mpc.w_force * jnp.eye(srb.NU, dtype=dtype)
+    blk, rhs_blk = _pyramid_constants(cfg)
+    mask = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
+    qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
+                 G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
+                 mask=mask, x0=state0)
+    sol = solve_stage_qp(qp, cfg.solver)
+    from .ops.qpsolve import QPSolution
+    diag = QPSolution(x=sol.u.reshape(sol.u.shape[:-2] + (-1,)),
+                      y=jnp.zeros_like(state0[..., 0:1]),
+                      z=sol.z.reshape(sol.z.shape[:-2] + (-1,)),
+                      s=sol.s.reshape(sol.s.shape[:-2] + (-1,)),
+                      converged=sol.converged, iters=sol.iters,
+                      gap=sol.gap, res_norm=sol.res_norm)
+    return MpcPlan(forces=sol.u.reshape(sol.u.shape[:-1] + (4, 3)),
+                   states=sol.x, sol=diag)
+
+
+def _plan_condensed(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     mpc = cfg.mpc
     Hh = mpc.horizon
     NX, NU = srb.NX, srb.NU
@@ -196,14 +251,17 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     P = P + mpc.w_force * jnp.eye(Hh * NU, dtype=dtype)
     qv = jnp.einsum("...hni,...hn->...i", SuQ, err0)
 
-    # friction-pyramid inequalities, block-diagonal over knots
-    G_blk, h_blk, mask_blk = _pyramid_rows(cfg, refs.contacts, dtype)
+    # friction-pyramid inequalities: a CONSTANT block-diagonal matrix
+    # (kron(I_H, pyramid)); only the stance mask is data
+    import numpy as np
+    blk, rhs_blk = _pyramid_constants(cfg)
     m_total = Hh * 4 * ROWS_PER_FOOT
-    G = jnp.zeros(batch + (m_total, Hh * NU), dtype)
-    for k in range(Hh):
-        G = G.at[..., k * 24:(k + 1) * 24, k * NU:(k + 1) * NU].set(
-            G_blk[..., k, :, :])
-    h = h_blk.reshape(batch + (m_total,))
+    G_np = np.kron(np.eye(Hh), blk)                       # (m_total, H*NU)
+    G = jnp.broadcast_to(jnp.asarray(G_np, dtype),
+                         batch + (m_total, Hh * NU))
+    h = jnp.broadcast_to(jnp.asarray(np.tile(rhs_blk, Hh), dtype),
+                         batch + (m_total,))
+    mask_blk = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
     ineq_mask = mask_blk.reshape(batch + (m_total,))
 
     # no equality rows (swing forces are decoupled + regularized to zero)

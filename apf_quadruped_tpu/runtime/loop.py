@@ -1,0 +1,189 @@
+"""The closed-loop controller — re-derivation of the reference's ctrl_loop
+(reference main.cpp:1077-2743) as a pure function scanned over time.
+
+One REPLAN CYCLE (reference: one trot half-cycle pair, 0.5 s):
+  1. robustness EWMA update + APF navigation (main.cpp:1273-1422)
+  2. one convex-MPC solve over the gait horizon (replacing the TOWR NLP
+     solved with Gazebo PAUSED, main.cpp:1250/1441 — the pure-JAX sim never
+     pauses: the batched QP fits the budget)
+  3. 400 Hz tracking: gait-phase query -> swing spline refs -> whole-body
+     QP -> torques -> physics step, accumulating the friction-cone margin
+     integral each tick (main.cpp:1463-2053)
+
+The reference alternates gait combos C1/C5 (trot pair A then pair B,
+topt.cpp:49-62); here the cycle index's parity selects gait flag 1/2.
+Full-crawl replanning exists in the planner (gait flags 4-7) but the
+closed loop runs trot + fake-crawl gain reduction — which is what the
+reference actually executes (its `crawl` flag is hardcoded false,
+main.cpp:489).
+
+Everything is single-scenario; `vmap` over a scenario axis and `shard_map`
+over a device mesh happen in runtime.sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import apf, gait, planner, swing, wbc
+from ..config import EngineConfig
+from ..models import rbd, srb
+from ..sim import disturbance, physics
+from ..sim import terrain as terrain_mod
+
+
+class LoopState(NamedTuple):
+    sim: physics.SimState
+    apf: apf.ApfState
+    cycle_idx: jnp.ndarray    # () int32
+
+
+class CycleMetrics(NamedTuple):
+    """Per-cycle observability (SURVEY.md §5.5: the ROS-topics bus becomes
+    a metrics pytree)."""
+
+    com: jnp.ndarray          # (3,) CoM at cycle end
+    com_err: jnp.ndarray      # () |com - com_des| at cycle end (xy)
+    rob_mean: jnp.ndarray     # () mean robustness index
+    fake_crawl: jnp.ndarray   # () bool
+    qp_converged: jnp.ndarray  # () fraction of converged WBC solves
+    mpc_converged: jnp.ndarray  # () bool
+    slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
+    tau_max: jnp.ndarray      # () peak |tau| over the cycle
+    track_err: jnp.ndarray    # () mean CoM tracking error during cycle
+
+
+def _phase_gait_flag(cycle_idx):
+    """Alternate trot pair A / pair B (reference C1/C5)."""
+    return jnp.where(cycle_idx % 2 == 0, 1, 2).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
+              target_xy: jnp.ndarray,
+              dist_sched: jnp.ndarray) -> tuple[LoopState, CycleMetrics]:
+    """One replan cycle: navigate, plan, track."""
+    dtype = st.sim.q.dtype
+    robot = cfg.robot
+    cycle = jnp.asarray(cfg.gait.trot_cycle, dtype)
+    n_ticks = int(round(cfg.gait.trot_cycle / cfg.sim.dt))
+    gait_flag = _phase_gait_flag(st.cycle_idx)
+
+    # ---- 1. navigation -------------------------------------------------
+    ast = apf.update_robustness(cfg.apf, st.apf)
+    feet_w = rbd.foot_positions_world(robot, st.sim.p_base, st.sim.R_wb,
+                                      st.sim.q)
+    com_w = rbd.com_position(robot, st.sim.p_base, st.sim.R_wb, st.sim.q)
+    nav = apf.navigate(cfg.apf, ast, feet_w[:, 0:2], com_w[0:2], target_xy)
+
+    com_des3 = jnp.concatenate([nav.com_des,
+                                jnp.asarray([robot.com_height], dtype)])
+    step_targets3 = jnp.concatenate(
+        [nav.step_targets,
+         jnp.full((4, 1), robot.foot_radius, dtype)], axis=-1)
+
+    # ---- 2. MPC plan over the cycle ------------------------------------
+    contacts_h = gait.horizon_contacts(
+        gait_flag, jnp.asarray(0.0, dtype), cfg.mpc.dt, cfg.mpc.horizon,
+        cycle, dtype=dtype)
+    feet_sched = planner.foothold_schedule(feet_w, step_targets3, contacts_h)
+    rpy_now = _rpy(st.sim.R_wb)
+    x_ref = planner.reference_trajectory(
+        cfg, rpy_now, jnp.concatenate(
+            [com_w[0:2], jnp.asarray([robot.com_height], dtype)]),
+        com_des3, rpy_now[2], cycle)
+    v_com = rbd.com_jacobian(robot, st.sim.R_wb, st.sim.q) @ st.sim.u
+    x0 = srb.pack_state(rpy_now, com_w, st.sim.u[3:6], v_com)
+    plan = planner.plan(cfg, x0, planner.MpcRefs(
+        contacts=contacts_h, feet_w=feet_sched, x_ref=x_ref,
+        yaw_ref=rpy_now[2]))
+
+    # ---- 3. 400 Hz tracking -------------------------------------------
+    liftoff_feet = feet_w                     # positions at cycle start
+
+    def tick(carry, k):
+        sim_st, ast = carry
+        t = k.astype(dtype) * cfg.sim.dt
+        info = gait.phase_info(gait_flag, t, cycle, dtype=dtype)
+        contact = info["contact"]
+
+        # swing spline refs (phase within the leg's current swing window)
+        dur = jnp.maximum(info["t_end"] - info["t_start"], 1e-3)
+        tau_ph = (t - info["t_start"]) / dur
+        sw_pos, sw_vel, sw_acc = swing.swing_ref(
+            liftoff_feet, step_targets3, cfg.mpc.swing_height, tau_ph, dur)
+
+        # MPC knot sample for CoM refs
+        kidx = jnp.clip((t / cfg.mpc.dt).astype(jnp.int32), 0,
+                        cfg.mpc.horizon - 1)
+        xk = plan.states[kidx]
+        fk = plan.forces[kidx]
+        com_acc = jnp.sum(fk, axis=0) / robot.mass + jnp.asarray(
+            [0.0, 0.0, -srb.GRAVITY], dtype)
+
+        ref = wbc.WbcRefs(
+            com_pos=xk[3:6], com_vel=xk[9:12], com_acc=com_acc,
+            rpy=xk[0:3], omega=xk[6:9],
+            omega_dot=jnp.zeros(3, dtype),
+            swing_pos=sw_pos, swing_vel=sw_vel, swing_acc=sw_acc)
+        wst = wbc.WbcState(p_base=sim_st.p_base, R_wb=sim_st.R_wb,
+                           q=sim_st.q, u=sim_st.u, contact=contact)
+        out = wbc.solve(cfg, wst, ref)
+
+        fd = disturbance.eval_at(dist_sched, sim_st.t)
+        sim_st, cinfo = physics.step(cfg, sim_st, out.tau, terr, f_dist=fd)
+
+        # robustness margin accumulation from MEASURED contact forces
+        # (the reference integrates bumper-sensor forces, main.cpp:1536)
+        ast = apf.accumulate_margin(cfg.apf, ast, cinfo.forces,
+                                    jnp.asarray(cfg.sim.dt, dtype))
+
+        com_now = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb,
+                                   sim_st.q)
+        track_err = jnp.linalg.norm(com_now - xk[3:6])
+        return (sim_st, ast), (out.sol.converged, cinfo.slipping.any(),
+                               jnp.abs(out.tau).max(), track_err)
+
+    (sim_st, ast), (conv, slip, taumax, terr_track) = jax.lax.scan(
+        tick, (st.sim, ast), jnp.arange(n_ticks))
+
+    com_end = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
+    metrics = CycleMetrics(
+        com=com_end,
+        com_err=jnp.linalg.norm(com_end[0:2] - nav.com_des),
+        rob_mean=nav.rob_mean,
+        fake_crawl=nav.fake_crawl,
+        qp_converged=jnp.mean(conv.astype(dtype)),
+        mpc_converged=plan.sol.converged,
+        slip_ticks=jnp.mean(slip.astype(dtype)),
+        tau_max=jnp.max(taumax),
+        track_err=jnp.mean(terr_track))
+    return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1), metrics
+
+
+def _rpy(R):
+    from ..ops.rotations import rot_to_rpy
+    return rot_to_rpy(R)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
+def run(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
+        target_xy: jnp.ndarray, dist_sched: jnp.ndarray,
+        n_cycles: int) -> tuple[LoopState, CycleMetrics]:
+    """n_cycles replan cycles (n_cycles * 0.5 s of walking)."""
+
+    def body(s, _):
+        return run_cycle(cfg, s, terr, target_xy, dist_sched)
+
+    return jax.lax.scan(body, st, None, length=n_cycles)
+
+
+def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
+         dtype=jnp.float32) -> LoopState:
+    return LoopState(sim=physics.initial_state(cfg, xy, yaw, dtype),
+                     apf=apf.init_state((), dtype),
+                     cycle_idx=jnp.asarray(0, jnp.int32))

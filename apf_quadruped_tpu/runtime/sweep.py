@@ -1,0 +1,121 @@
+"""Batched scenario sweeps: vmap within a chip, shard_map across the mesh.
+
+The TPU-native replacement for "roslaunch it N times": thousands of
+(terrain, target, disturbance) scenarios run in lockstep through the full
+closed loop (runtime.loop), with sweep statistics pmean-reduced across
+devices (SURVEY.md §5.8).  Orbax checkpointing of sweep state lives in
+runtime.checkpoint.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..parallel import mesh as mesh_mod
+from ..sim import disturbance, terrain as terrain_mod
+from . import loop
+
+
+class Scenario(NamedTuple):
+    """One batch row: terrain mu-map + navigation target + disturbances +
+    spawn pose."""
+
+    mu_map: jnp.ndarray       # (res, res)
+    target_xy: jnp.ndarray    # (2,)
+    dist_sched: jnp.ndarray   # (n_events, 7)
+    spawn_xy: jnp.ndarray     # (2,)
+    spawn_yaw: jnp.ndarray    # ()
+
+
+class SweepResult(NamedTuple):
+    final_com: jnp.ndarray     # (B, 3)
+    goal_dist: jnp.ndarray     # (B,) final xy distance to target
+    upright: jnp.ndarray       # (B,) final R[2,2]
+    fell: jnp.ndarray          # (B,) bool
+    rob_mean: jnp.ndarray      # (B,) last-cycle robustness
+    qp_converged: jnp.ndarray  # (B,) mean WBC convergence
+    slip_frac: jnp.ndarray     # (B,) mean slipping fraction
+    metrics: loop.CycleMetrics  # stacked (B, n_cycles, ...)
+
+
+def random_scenarios(cfg: EngineConfig, n: int, seed: int = 0,
+                     n_patches: int = 4, dtype=jnp.float32) -> Scenario:
+    """Randomized slippery-patch navigation scenarios (the case-world
+    generator generalized)."""
+    rng = np.random.default_rng(seed)
+    terr = terrain_mod.random_patches(cfg.sim, rng, n_patches=n_patches,
+                                      batch=n, dtype=dtype)
+    targets = np.stack([rng.uniform(-0.6, 0.6, n), rng.uniform(1.2, 2.2, n)],
+                       axis=-1)
+    dist = disturbance.random_pushes(rng, horizon_s=4.0, n=2, f_max=40.0,
+                                     batch=n, dtype=dtype)
+    return Scenario(mu_map=terr.mu_map,
+                    target_xy=jnp.asarray(targets, dtype),
+                    dist_sched=dist,
+                    spawn_xy=jnp.zeros((n, 2), dtype),
+                    spawn_yaw=jnp.zeros(n, dtype))
+
+
+def _run_one(cfg: EngineConfig, scn: Scenario, n_cycles: int, dtype):
+    terr = terrain_mod.Terrain(mu_map=scn.mu_map,
+                               extent=cfg.sim.terrain_extent,
+                               res=cfg.sim.terrain_res)
+    st = loop.init(cfg, dtype=dtype)
+    st = st._replace(sim=st.sim._replace(
+        p_base=st.sim.p_base.at[0:2].set(scn.spawn_xy)))
+    # the init state is scenario-independent (hence "unvarying" under
+    # shard_map); stamp it with a zero varying seed so scan carries match
+    seed = 0.0 * (jnp.sum(scn.target_xy) + scn.spawn_yaw
+                  + jnp.sum(scn.mu_map) + jnp.sum(scn.dist_sched))
+    st = mesh_mod.seed_varying(st, seed)
+    st2, metrics = loop.run(cfg, st, terr, scn.target_xy, scn.dist_sched,
+                            n_cycles)
+    com = metrics.com[-1]
+    return st2, metrics, com
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
+def run_batch(cfg: EngineConfig, scn: Scenario, n_cycles: int) -> SweepResult:
+    """vmap over the scenario batch (single device)."""
+    dtype = scn.target_xy.dtype
+
+    def one(s):
+        st2, metrics, com = _run_one(cfg, s, n_cycles, dtype)
+        return SweepResult(
+            final_com=com,
+            goal_dist=jnp.linalg.norm(com[0:2] - s.target_xy),
+            upright=st2.sim.R_wb[2, 2],
+            fell=st2.sim.R_wb[2, 2] < 0.7,
+            rob_mean=metrics.rob_mean[-1],
+            qp_converged=jnp.mean(metrics.qp_converged),
+            slip_frac=jnp.mean(metrics.slip_ticks),
+            metrics=metrics)
+
+    return jax.vmap(one)(scn)
+
+
+def run_sharded(cfg: EngineConfig, scn: Scenario, n_cycles: int,
+                devices=None):
+    """shard_map the batch over the scenario mesh; per-shard vmap inside;
+    mean sweep stats psum-reduced across devices."""
+    m = mesh_mod.scenario_mesh(devices)
+    scn_sharded = mesh_mod.shard_batch(m, scn)
+
+    def per_shard(s):
+        res = run_batch(cfg, s, n_cycles)
+        stats = {
+            "goal_dist": jnp.mean(res.goal_dist),
+            "fell": jnp.mean(res.fell.astype(jnp.float32)),
+            "qp_converged": jnp.mean(res.qp_converged),
+            "slip_frac": jnp.mean(res.slip_frac),
+        }
+        return res, stats
+
+    fn = mesh_mod.sharded_map(m, per_shard)
+    return jax.jit(fn)(scn_sharded)

@@ -1,0 +1,81 @@
+"""Headline benchmark: batched MPC solves/s at horizon 20 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 10_000 — the BASELINE.json north-star rate
+(>= 10k batched MPC solves/s on one v5e host at horizon 20).
+
+Each "solve" is a full planner.plan: per-knot SRB linearization,
+condensing, and the batched interior-point solve with friction-pyramid
+constraints (the role IPOPT+TOWR fills in the reference with a 20 s
+budget and the sim paused, topt.cpp:97 / main.cpp:1250).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from apf_quadruped_tpu import planner
+    from apf_quadruped_tpu.config import EngineConfig, MpcConfig, SolverConfig
+    from apf_quadruped_tpu.models import srb
+    from apf_quadruped_tpu.models.dogbot import nominal_stance
+    from apf_quadruped_tpu import gait
+
+    cfg = EngineConfig(
+        mpc=MpcConfig(horizon=20, dt=0.025),
+        solver=SolverConfig(iters=12, reltol=1e-2, abstol=1e-2,
+                            static_reg=1e-6, eq_reg=1e-6, w_clip=1e6))
+    dtype = jnp.float32
+    B = 512
+    rng = np.random.default_rng(0)
+
+    com0 = jnp.asarray(
+        np.array([0.0, 0.0, 0.4]) + rng.normal(size=(B, 3)) * 0.01, dtype)
+    yaw = jnp.asarray(rng.normal(size=B) * 0.1, dtype)
+    vel = jnp.asarray(rng.normal(size=(B, 3)) * 0.05, dtype)
+    feet0 = jnp.asarray(nominal_stance(cfg.robot))[None] + com0[:, None, :]
+    feet0 = feet0.at[..., 2].set(0.0).astype(dtype)
+    com_des = com0 + jnp.asarray([0.0, 0.06, 0.0], dtype)
+
+    cycle = jnp.full(B, cfg.mpc.horizon * cfg.mpc.dt, dtype)
+    contacts = gait.horizon_contacts(
+        jnp.ones(B, jnp.int32), jnp.zeros(B, dtype), cfg.mpc.dt,
+        cfg.mpc.horizon, cycle, dtype=dtype)
+    refs = planner.MpcRefs(
+        contacts=contacts,
+        feet_w=planner.foothold_schedule(feet0, feet0, contacts),
+        x_ref=planner.reference_trajectory(
+            cfg, jnp.zeros((B, 3), dtype), com0, com_des, yaw, cycle),
+        yaw_ref=yaw)
+    x0 = srb.pack_state(
+        jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1),
+        com0, jnp.zeros((B, 3), dtype), vel)
+
+    f = jax.jit(lambda x0, refs: planner.plan(cfg, x0, refs))
+    out = jax.block_until_ready(f(x0, refs))          # compile
+    conv = float(np.mean(np.asarray(out.sol.converged)))
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = f(x0, refs)
+    jax.block_until_ready(out)
+    dt_call = (time.perf_counter() - t0) / n_rep
+    solves_per_s = B / dt_call
+
+    print(json.dumps({
+        "metric": f"batched_mpc_solves_per_s_h{cfg.mpc.horizon}"
+                  f"_b{B}_conv{conv:.2f}",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / 10_000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Closed-loop integration tests: the full APF -> MPC -> WBC -> sim stack.
+
+The CPU-runnable analogue of the reference's end-to-end Gazebo scenario
+runs (gztest*.launch) — but with assertions (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apf_quadruped_tpu.config import EngineConfig, SolverConfig, WbcConfig
+from apf_quadruped_tpu.runtime import loop
+from apf_quadruped_tpu.sim import disturbance, terrain
+
+CFG = EngineConfig(solver=SolverConfig(iters=20, reltol=1e-4, abstol=1e-3),
+                   wbc=WbcConfig(slack_weight_trot=1e6))
+DT = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def walk_result():
+    st = loop.init(CFG, dtype=DT)
+    terr = terrain.flat(CFG.sim, dtype=DT)
+    target = jnp.asarray([0.0, 1.0], DT)
+    st2, m = loop.run(CFG, st, terr, target, disturbance.empty(DT),
+                      n_cycles=4)
+    return st2, jax.tree.map(np.asarray, m)
+
+
+def test_walks_toward_target(walk_result):
+    st2, m = walk_result
+    assert m.com[-1, 1] > 0.15, f"no forward progress: {m.com[:, 1]}"
+    # monotone-ish forward motion
+    assert (np.diff(m.com[:, 1]) > -0.02).all()
+
+
+def test_stays_upright_and_at_height(walk_result):
+    st2, m = walk_result
+    assert float(st2.sim.R_wb[2, 2]) > 0.98
+    assert abs(m.com[-1, 2] - 0.40) < 0.05
+
+
+def test_solvers_healthy(walk_result):
+    st2, m = walk_result
+    assert m.mpc_converged.all()
+    assert m.qp_converged.mean() > 0.8
+    assert (m.tau_max <= 60.0 + 1e-6).all()
+
+
+def test_tracking_error_small(walk_result):
+    _, m = walk_result
+    assert m.track_err.mean() < 0.03, f"track err {m.track_err}"
+
+
+def test_robustness_index_live(walk_result):
+    """The slippage index must be in a physical range (0, atan(0.5))."""
+    _, m = walk_result
+    assert (m.rob_mean > 0.0).all()
+    assert (m.rob_mean < np.arctan(0.5) * 1.5).all()
+
+
+def test_disturbance_rejection():
+    """A 30 N x 0.2 s lateral shove mid-walk must not topple the robot.
+    (There is no capture-step logic — matching the reference — so the
+    recoverable impulse is bounded by the stance polygon.)"""
+    st = loop.init(CFG, dtype=DT)
+    terr = terrain.flat(CFG.sim, dtype=DT)
+    sched = disturbance.impulses([(0.6, 0.8, 30.0, 0.0, 0.0)], dtype=DT)
+    st2, m = loop.run(CFG, st, terr, jnp.asarray([0.0, 1.0], DT), sched,
+                      n_cycles=3)
+    assert float(st2.sim.R_wb[2, 2]) > 0.95
+    assert np.asarray(m.com)[-1, 1] > 0.05

@@ -1,0 +1,68 @@
+"""Scenario-sweep tests: batched closed loop, virtual 8-device sharding,
+checkpoint round-trip."""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apf_quadruped_tpu.config import (EngineConfig, GaitConfig, MpcConfig,
+                                      SimConfig, SolverConfig, WbcConfig)
+from apf_quadruped_tpu.runtime import checkpoint, loop, sweep
+
+# tiny config: these tests check plumbing, not behavior
+CFG = EngineConfig(
+    gait=GaitConfig(trot_cycle=0.1),
+    mpc=MpcConfig(horizon=4, dt=0.025),
+    sim=SimConfig(substeps=1, terrain_res=16),
+    solver=SolverConfig(iters=5),
+    wbc=WbcConfig(slack_weight_trot=1e6),
+)
+
+
+def test_run_batch_shapes():
+    scn = sweep.random_scenarios(CFG, n=4, seed=1)
+    res = sweep.run_batch(CFG, scn, n_cycles=2)
+    assert res.final_com.shape == (4, 3)
+    assert res.goal_dist.shape == (4,)
+    assert np.isfinite(np.asarray(res.final_com)).all()
+    assert res.metrics.com.shape == (4, 2, 3)
+
+
+def test_run_sharded_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    scn = sweep.random_scenarios(CFG, n=8, seed=2)
+    res, stats = sweep.run_sharded(CFG, scn, n_cycles=1)
+    assert res.final_com.shape == (8, 3)
+    assert np.isfinite(float(stats["goal_dist"]))
+    # pmean-reduced scalar equals the full-batch mean
+    np.testing.assert_allclose(float(stats["goal_dist"]),
+                               float(np.mean(np.asarray(res.goal_dist))),
+                               rtol=1e-5)
+
+
+def test_sharded_matches_single_device():
+    """Same scenarios through the sharded and single-device paths.
+
+    f32 + different XLA partitioning changes reduction orders, and the
+    contact-switching closed loop amplifies those ulps over a cycle —
+    agreement is physical (cm-level), not bitwise.
+    """
+    scn = sweep.random_scenarios(CFG, n=8, seed=3)
+    res1 = sweep.run_batch(CFG, scn, n_cycles=1)
+    res8, _ = sweep.run_sharded(CFG, scn, n_cycles=1)
+    np.testing.assert_allclose(np.asarray(res8.final_com),
+                               np.asarray(res1.final_com), atol=0.05)
+    assert np.asarray(res8.fell).sum() == np.asarray(res1.fell).sum()
+
+
+def test_checkpoint_roundtrip():
+    st = loop.init(CFG, dtype=jnp.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/ckpt"
+        checkpoint.save(path, st)
+        assert checkpoint.exists(path)
+        st2 = checkpoint.restore(path, like=st)
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
