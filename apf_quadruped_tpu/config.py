@@ -73,6 +73,11 @@ class GaitConfig:
     t_stand: float = 0.2
     trot_cycle: float = 0.5                    # one replan horizon (stand+step)
     crawl_cycle: float = 1.0
+    # closed-loop gait mode: "trot" alternates pair order per cycle
+    # (reference combos C1/C5); "crawl" walks one leg at a time per 1 s
+    # cycle (combos C7-C10 — present but never enabled in the reference,
+    # main.cpp:489)
+    mode: str = "trot"
     control_dt: float = 0.0025                 # 400 Hz tracking (main.cpp:1107)
     plan_dt: float = 0.025                     # MPC discretization (10 knots / 0.25 s phase)
 
@@ -119,7 +124,9 @@ class WbcConfig:
     d_com: float = 50.0
     kp_swing: float = 300.0        # main.cpp:1984-1987
     kd_swing: float = 20.0
-    slack_weight_trot: float = 1e8   # main.cpp:1751
+    # reference uses 1e8 (main.cpp:1751) — infeasible for f32 Cholesky;
+    # 1e6 is still an effectively-hard soft constraint
+    slack_weight_trot: float = 1e6
     slack_weight_crawl: float = 1e4  # main.cpp:2976
     mu: float = 0.5                # friction coefficient (main.cpp:1511)
     joint_dt: float = 0.025        # joint-limit lookahead (main.cpp:1638)
@@ -140,11 +147,14 @@ class SolverConfig:
     abstol: float = 1e-2
     frac_to_boundary: float = 0.99   # qpSWIFT.c:588-590
     sigma_pow: float = 3.0           # sigma = min(1, rho)^3 (qpSWIFT.c:567)
-    static_reg: float = 1e-8         # diagonal regularization of H and Schur
-    eq_reg: float = 1e-8             # regularization making masked eq rows benign
+    # f32-safe defaults: 1e-8 regs work only in f64 (the f32 WBC Cholesky
+    # fails and lanes NaN-quarantine to zero torque); golden f64 tests pin
+    # tighter values explicitly
+    static_reg: float = 1e-7         # diagonal regularization of H and Schur
+    eq_reg: float = 1e-7             # regularization making masked eq rows benign
     refine_steps: int = 1            # iterative refinement of KKT solves
     min_slack: float = 1e-10
-    w_clip: float = 1e8              # clamp on the z/s scaling (conditioning)
+    w_clip: float = 1e6              # clamp on the z/s scaling (conditioning)
 
 
 @dataclasses.dataclass(frozen=True)

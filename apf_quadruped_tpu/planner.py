@@ -186,13 +186,15 @@ def _mpc_costs(cfg: EngineConfig, dtype):
 
 
 def _linearizations(cfg: EngineConfig, refs: MpcRefs):
-    yaw = refs.yaw_ref
+    # one broadcast call over the (batch, H) axes — linearize_discrete is
+    # shape-polymorphic, and a vmap-over-knot-index variant costs ~100x in
+    # scatter overhead on TPU
+    Hh = cfg.mpc.horizon
+    yaw = jnp.broadcast_to(refs.yaw_ref[..., None],
+                           refs.yaw_ref.shape + (Hh,))
     r_ref = refs.x_ref[..., 3:6]
-    return jax.vmap(
-        lambda k: srb.linearize_discrete(
-            cfg.robot, yaw, r_ref[..., k, :], refs.feet_w[..., k, :, :],
-            refs.contacts[..., k, :], cfg.mpc.dt),
-        out_axes=(-3, -3))(jnp.arange(cfg.mpc.horizon))
+    return srb.linearize_discrete(cfg.robot, yaw, r_ref, refs.feet_w,
+                                  refs.contacts, cfg.mpc.dt)
 
 
 def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:

@@ -69,9 +69,16 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
     """One replan cycle: navigate, plan, track."""
     dtype = st.sim.q.dtype
     robot = cfg.robot
-    cycle = jnp.asarray(cfg.gait.trot_cycle, dtype)
-    n_ticks = int(round(cfg.gait.trot_cycle / cfg.sim.dt))
-    gait_flag = _phase_gait_flag(st.cycle_idx)
+    if cfg.gait.mode == "crawl":
+        cycle_s = cfg.gait.crawl_cycle
+        # walk1_4 (reference combo C9, gait_type 4): all four legs swing
+        # once per cycle, one at a time
+        gait_flag = jnp.asarray(4, jnp.int32)
+    else:
+        cycle_s = cfg.gait.trot_cycle
+        gait_flag = _phase_gait_flag(st.cycle_idx)
+    cycle = jnp.asarray(cycle_s, dtype)
+    n_ticks = int(round(cycle_s / cfg.sim.dt))
 
     # ---- 1. navigation -------------------------------------------------
     ast = apf.update_robustness(cfg.apf, st.apf)

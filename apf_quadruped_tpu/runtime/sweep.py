@@ -45,9 +45,29 @@ class SweepResult(NamedTuple):
 
 
 def random_scenarios(cfg: EngineConfig, n: int, seed: int = 0,
-                     n_patches: int = 4, dtype=jnp.float32) -> Scenario:
+                     n_patches: int = 4, dtype=jnp.float32,
+                     use_native: bool | None = None) -> Scenario:
     """Randomized slippery-patch navigation scenarios (the case-world
-    generator generalized)."""
+    generator generalized).
+
+    Generation runs in the native C++ rasterizer (runtime.native) when
+    available — the host-side data-loader component — with a pure-numpy
+    fallback (same distributions, different RNG streams)."""
+    from . import native
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        mu = native.terrains(n, cfg.sim.terrain_res, cfg.sim.terrain_extent,
+                             cfg.sim.mu_default, n_patches, seed=seed + 1)
+        targets = native.targets(n, seed=seed + 2)
+        dist = native.disturbances(n, 2, horizon_s=4.0, seed=seed + 3)
+        return Scenario(mu_map=jnp.asarray(mu, dtype),
+                        target_xy=jnp.asarray(targets, dtype),
+                        dist_sched=jnp.asarray(dist, dtype),
+                        spawn_xy=jnp.zeros((n, 2), dtype),
+                        spawn_yaw=jnp.zeros(n, dtype))
+
     rng = np.random.default_rng(seed)
     terr = terrain_mod.random_patches(cfg.sim, rng, n_patches=n_patches,
                                       batch=n, dtype=dtype)

@@ -107,6 +107,10 @@ def step(cfg: EngineConfig, st: SimState, tau: jnp.ndarray,
         gen = gen.at[0:3].add(f_dist)
         du = jnp.linalg.solve(M, gen)
         u = st.u + dt * du
+        # failure containment (SURVEY.md §5.3): a blown-up lane (bad
+        # torques, contact explosion) must stay FINITE so it can be flagged
+        # (sweep marks it fallen) instead of poisoning a batch with NaNs
+        u = jnp.clip(jnp.nan_to_num(u), -1e3, 1e3)
         p = st.p_base + dt * u[0:3]
         R = st.R_wb + dt * skew(u[3:6]) @ st.R_wb
         # re-orthonormalize (Gram-Schmidt on columns)

@@ -17,7 +17,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: remote-compile latency through the
+    # tunnel varies wildly between runs; cached executables make the bench
+    # measure the solver, not the compiler
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from apf_quadruped_tpu import planner
@@ -31,7 +43,10 @@ def main():
         solver=SolverConfig(iters=12, reltol=1e-2, abstol=1e-2,
                             static_reg=1e-6, eq_reg=1e-6, w_clip=1e6))
     dtype = jnp.float32
-    B = 512
+    # batch 128: well past the throughput knee; larger batches trip an
+    # XLA batched-small-matmul compile-time pathology on v5e (B=512
+    # compiles for minutes, B<=128 in seconds)
+    B = 128
     rng = np.random.default_rng(0)
 
     com0 = jnp.asarray(

@@ -18,7 +18,8 @@ from apf_quadruped_tpu.ops.qpsolve import QPData, make_qp, solve_qp
 # is reltol = abstol = 1e-2; the f32 test below uses that).
 # reltol floor ~ static_reg/eq_reg (1e-8 regularization bounds attainable
 # residuals); 1e-7 is comfortably above it and far below runtime's 1e-2.
-CFG = SolverConfig(iters=30, reltol=1e-7, abstol=1e-8)
+CFG = SolverConfig(iters=30, reltol=1e-7, abstol=1e-8,
+                   static_reg=1e-8, eq_reg=1e-8, w_clip=1e8)
 
 
 def random_qp(rng, n, m, p, batch=()):

@@ -13,7 +13,8 @@ from apf_quadruped_tpu.config import SolverConfig
 from apf_quadruped_tpu.ops.qpsolve import QPData, solve_qp
 from apf_quadruped_tpu.ops.riccati import StageQP, solve_stage_qp
 
-CFG = SolverConfig(iters=30, reltol=1e-8, abstol=1e-8)
+CFG = SolverConfig(iters=30, reltol=1e-8, abstol=1e-8,
+                   static_reg=1e-9, eq_reg=1e-9, w_clip=1e9)
 
 
 def make_problem(rng, B=3, H=6, NX=5, NU=3, M=4, mask_frac=0.8):
