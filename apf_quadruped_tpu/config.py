@@ -155,6 +155,9 @@ class SolverConfig:
     refine_steps: int = 1            # iterative refinement of KKT solves
     min_slack: float = 1e-10
     w_clip: float = 1e6              # clamp on the z/s scaling (conditioning)
+    # route the per-stage SPD factor+solve through the fused batch-on-lanes
+    # Pallas kernel (ops/pallas_chol.py) instead of XLA cholesky+trisolve
+    use_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,39 @@ import jax.numpy as jnp
 from ..config import SolverConfig
 
 
+def _spd_solve_factory(cfg: SolverConfig):
+    """(factor, solve) pair: factor(M) -> F, solve(F, rhs) -> M^{-1} rhs.
+
+    Default path: Cholesky once, two triangular solves per rhs.  Pallas
+    path (cfg.use_pallas): carry M itself and refactor inside the fused
+    batch-on-lanes kernel per solve — at n = 12 the n^3/6 refactor is
+    ~300 flops/lane, far cheaper than the extra kernel launches it saves.
+    """
+    if cfg.use_pallas:
+        import jax as _jax
+
+        from .pallas_chol import chol_solve_blocked
+
+        interp = _jax.default_backend() != "tpu"
+
+        def factor(M):
+            return M
+
+        def solve_mat(F, rhs):
+            return chol_solve_blocked(F, rhs, interpret=interp)
+
+        def solve_vec(F, rhs):
+            return chol_solve_blocked(F, rhs[..., None],
+                                      interpret=interp)[..., 0]
+
+        return factor, solve_mat, solve_vec
+
+    def factor(M):
+        return jnp.linalg.cholesky(M)
+
+    return factor, _chol_solve, _chol_solve
+
+
 class StageQP(NamedTuple):
     """Stage-wise MPC QP data (leading batch dims allowed on everything).
 
@@ -161,22 +194,24 @@ def _solve_impl(qp: StageQP, cfg: SolverConfig) -> StageSolution:
         rz = _bmv(G_t, u_t) + s_t - h_t
         return rx, rz, lam_t
 
+    factor_f, solve_mat, solve_vec = _spd_solve_factory(cfg)
+
     def riccati_factor(W_t):
         """Backward matrix pass with barrier Hessians R_k = R + G'WG.
 
         Carry is Pbar_{k+1} = Q + P_{k+1}: the cost-to-go Hessian at
         x_{k+1} INCLUDING that stage's own state cost (every stage's cost
         is on x_{k+1}, so the terminal init is Pbar_H = Q).
-        Returns per-knot chol(M_k) and gains K_k."""
+        Returns per-knot factorizations and gains K_k."""
         def bwd(Pbar, inp):
             Ak, Bk, Gk, Wk = inp
             Rk = qp.R + reg * eye_u + jnp.einsum(
                 "...mi,...m,...mj->...ij", Gk, Wk, Gk)
             BtP = _bmm(jnp.swapaxes(Bk, -1, -2), Pbar)    # (..,NU,NX)
             Mk = Rk + _bmm(BtP, Bk)
-            Lk = jnp.linalg.cholesky(Mk)
+            Lk = factor_f(Mk)
             BtPA = _bmm(BtP, Ak)
-            K = _chol_solve(Lk, BtPA)                     # (..,NU,NX)
+            K = solve_mat(Lk, BtPA)                       # (..,NU,NX)
             AtP = _bmm(jnp.swapaxes(Ak, -1, -2), Pbar)
             Pnext = (qp.Q + _bmm(AtP, Ak)
                      - _bmm(jnp.swapaxes(K, -1, -2), BtPA))
@@ -200,7 +235,7 @@ def _solve_impl(qp: StageQP, cfg: SolverConfig) -> StageSolution:
             Ak, Bk, Lk, Kk, rk = inp
             # sv = value gradient at x_{k+1}
             g_u = -rk + _bmv(jnp.swapaxes(Bk, -1, -2), sv)
-            kff = _chol_solve(Lk, g_u)                    # (..,NU)
+            kff = solve_vec(Lk, g_u)                      # (..,NU)
             s_k = (_bmv(jnp.swapaxes(Ak, -1, -2), sv)
                    - _bmv(jnp.swapaxes(Kk, -1, -2), g_u))
             return s_k, kff

@@ -122,3 +122,18 @@ def test_float32_stage_solver(rng):
                                       static_reg=1e-6, w_clip=1e6))
     assert sol.u.dtype == jnp.float32
     assert float(np.mean(sol.converged)) >= 0.9
+
+
+def test_pallas_path_matches_default(rng):
+    """use_pallas routes factor/solve through the fused kernel (interpret
+    mode off-TPU); results must match the XLA path."""
+    prob = make_problem(rng, B=4, H=5, NX=6, NU=4, M=6)
+    prob32 = tuple(jnp.asarray(v, jnp.float32) for v in prob)
+    cfg = SolverConfig(iters=15, reltol=1e-4, abstol=1e-4,
+                       static_reg=1e-6, w_clip=1e6)
+    cfg_p = SolverConfig(iters=15, reltol=1e-4, abstol=1e-4,
+                         static_reg=1e-6, w_clip=1e6, use_pallas=True)
+    sol = solve_stage_qp(StageQP(*prob32), cfg)
+    sol_p = solve_stage_qp(StageQP(*prob32), cfg_p)
+    np.testing.assert_allclose(np.asarray(sol_p.u), np.asarray(sol.u),
+                               atol=2e-4)
