@@ -34,7 +34,9 @@ def cmd_run(args):
 
     cfg = _cfg(args)
     dtype = jnp.float32
-    if args.case > 0:
+    if args.world:
+        terr = terrain.HEIGHT_WORLDS[args.world](cfg.sim, dtype=dtype)
+    elif args.case > 0:
         terr = terrain.case_world(cfg.sim, args.case, dtype=dtype)
     else:
         terr = terrain.flat(cfg.sim, dtype=dtype)
@@ -94,6 +96,9 @@ def main(argv=None):
     pr = sub.add_parser("run", help="single closed-loop scenario")
     pr.add_argument("--case", type=int, default=0,
                     help="case world 1-4 (0 = flat ground)")
+    pr.add_argument("--world", type=str, default="",
+                    help="height-map world (block/stairs/gap/slope/"
+                         "chimney/chimney_lr; overrides --case)")
     pr.add_argument("--target", type=str, default="0,1.5")
     pr.add_argument("--cycles", type=int, default=8)
     pr.add_argument("--iters", type=int, default=15)

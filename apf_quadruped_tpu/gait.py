@@ -87,6 +87,41 @@ STRIDES: Dict[str, Tuple[Phase, ...]] = {
              (0.1, _B["Bb"]), (0.2, _B["BB"]), (0.1, _B["IP"])),
 }
 
+# --- biped / monoped stride tables -------------------------------------
+# Reference biped_gait_generator.cc / monoped_gait_generator.cc (the towr
+# generators for the other model families, unused by the app but part of
+# the library).  Zoo slot binding (models/zoo.py): biped L -> slot 1 (BL),
+# R -> slot 0 (BR), front slots permanently masked; monoped -> slot 0.
+_B2 = {"B": (1, 1, 0, 0), "P": (0, 1, 0, 0),   # P_ = stance left only
+       "b": (1, 0, 0, 0), "I": (0, 0, 0, 0)}   # b_ = stance right only
+_M1 = {"o": (1, 0, 0, 0), "x": (0, 0, 0, 0)}
+
+STRIDES.update({
+    # biped_gait_generator.cc:83-95 (stand) / 97-110 (flight)
+    "biped_stand": ((0.2, _B2["B"]),),
+    "biped_flight": ((0.5, _B2["I"]),),
+    # GetStrideWalk :112-129: step 0.3 / stance 0.05, swing L then R
+    "biped_walk": ((0.3, _B2["b"]), (0.05, _B2["B"]),
+                   (0.3, _B2["P"]), (0.05, _B2["B"])),
+    # GetStrideRun :131-148: pushoff 0.15, flight 0.4, landing 0.15
+    "biped_run": ((0.15, _B2["b"]), (0.4, _B2["I"]), (0.3, _B2["P"]),
+                  (0.4, _B2["I"]), (0.15, _B2["b"])),
+    # GetStrideHop :150-166
+    "biped_hop": ((0.15, _B2["B"]), (0.5, _B2["I"]), (0.15, _B2["B"])),
+    # GetStrideGallopHop :168-189
+    "biped_gallop_hop": ((0.2, _B2["P"]), (0.3, _B2["I"]),
+                         (0.2, _B2["b"]), (0.2, _B2["B"])),
+    # GetStrideLeftHop :191-206 / GetStrideRightHop :208-225
+    "biped_left_hop": ((0.15, _B2["b"]), (0.4, _B2["I"]), (0.15, _B2["b"])),
+    "biped_right_hop": ((0.2, _B2["P"]), (0.2, _B2["I"]), (0.2, _B2["P"])),
+    # monoped_gait_generator.cc:63-90 (stand/flight), 92-106 (hop),
+    # 108-121 (hop long)
+    "mono_stand": ((0.5, _M1["o"]),),
+    "mono_flight": ((0.5, _M1["x"]),),
+    "mono_hop": ((0.3, _M1["o"]), (0.3, _M1["x"])),
+    "mono_hop_long": ((0.2, _M1["o"]), (0.3, _M1["x"])),
+})
+
 # Gait-flag combos: reference gait_flag -> stride sequence, each prefixed with a
 # stand phase (SetCombo, quadruped_gait_generator.cc:77-93; flag mapping
 # topt.cpp:49-79).  Flag 0 = pure stand (our addition for convenience).
@@ -99,6 +134,15 @@ GAIT_FLAG_COMBOS: Dict[int, Tuple[str, ...]] = {
     5: ("stand", "walk1_2"),   # C7
     6: ("stand", "walk1"),     # C10
     7: ("stand", "walk1_3"),   # C8
+    # biped combos (biped_gait_generator.cc:52-59: Stand + stride cycles)
+    8: ("biped_stand", "biped_walk"),                      # biped C0
+    9: ("biped_stand", "biped_run"),                       # biped C1
+    10: ("biped_stand", "biped_hop"),                      # biped C2
+    11: ("biped_stand", "biped_left_hop", "biped_right_hop"),  # biped C3
+    12: ("biped_stand", "biped_gallop_hop"),               # biped C4
+    # monoped combos (monoped_gait_generator.cc:38-46)
+    13: ("mono_stand", "mono_hop"),                        # monoped C0-C2
+    14: ("mono_stand", "mono_hop_long"),                   # monoped C3/C4
 }
 
 MAX_PHASES = 16

@@ -87,11 +87,17 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
     com_w = rbd.com_position(robot, st.sim.p_base, st.sim.R_wb, st.sim.q)
     nav = apf.navigate(cfg.apf, ast, feet_w[:, 0:2], com_w[0:2], target_xy)
 
-    com_des3 = jnp.concatenate([nav.com_des,
-                                jnp.asarray([robot.com_height], dtype)])
+    # foothold/CoM heights follow the terrain height field (the towr
+    # TerrainConstraint role: feet land ON the terrain surface;
+    # flat terrains sample 0 and reduce to the reference's FlatGround)
+    com_des3 = jnp.concatenate(
+        [nav.com_des,
+         (terrain_mod.sample_height(terr, nav.com_des)
+          + robot.com_height)[None]])
     step_targets3 = jnp.concatenate(
         [nav.step_targets,
-         jnp.full((4, 1), robot.foot_radius, dtype)], axis=-1)
+         (terrain_mod.sample_height(terr, nav.step_targets)
+          + robot.foot_radius)[:, None]], axis=-1)
 
     # ---- 2. MPC plan over the cycle ------------------------------------
     contacts_h = gait.horizon_contacts(
@@ -101,7 +107,9 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
     rpy_now = _rpy(st.sim.R_wb)
     x_ref = planner.reference_trajectory(
         cfg, rpy_now, jnp.concatenate(
-            [com_w[0:2], jnp.asarray([robot.com_height], dtype)]),
+            [com_w[0:2],
+             (terrain_mod.sample_height(terr, com_w[0:2])
+              + robot.com_height)[None]]),
         com_des3, rpy_now[2], cycle)
     v_com = rbd.com_jacobian(robot, st.sim.R_wb, st.sim.q) @ st.sim.u
     x0 = srb.pack_state(rpy_now, com_w, st.sim.u[3:6], v_com)

@@ -51,21 +51,38 @@ class ContactInfo(NamedTuple):
 
 def contact_forces(cfg: EngineConfig, st: SimState,
                    terr: terrain_mod.Terrain):
-    """Penalty contact at the four feet.  Returns (ContactInfo, new_anchor)."""
+    """Penalty contact at the four feet.  Returns (ContactInfo, new_anchor).
+
+    Generalized to height-field terrains (terrain.sample_height/normal):
+    penetration is measured along the local surface normal n, the normal
+    force acts along n, and the stick-slip spring lives in the tangent
+    plane.  On flat ground (n = z-hat) this reduces exactly to the
+    sphere-on-plane model above.
+    """
     s = cfg.sim
     feet = rbd.foot_positions_world(cfg.robot, st.p_base, st.R_wb, st.q)
     Jc = rbd.contact_jacobian_mixed(cfg.robot, st.p_base, st.R_wb, st.q)
     v_feet = (Jc @ st.u).reshape(4, 3)
+    p_xy = feet[:, 0:2]
 
-    depth = cfg.robot.foot_radius - feet[:, 2]
+    ground_z = terrain_mod.sample_height(terr, p_xy)          # (4,)
+    normal = terrain_mod.sample_normal(terr, p_xy)            # (4,3)
+
+    # vertical gap -> penetration along the normal (sphere vs. slope)
+    depth = (cfg.robot.foot_radius - (feet[:, 2] - ground_z)) * normal[:, 2]
     in_c = depth > 0.0
-    fn = jnp.maximum(0.0, s.ground_kp * depth - s.ground_kd * v_feet[:, 2])
+    v_n = jnp.sum(normal * v_feet, axis=-1)
+    fn = jnp.maximum(0.0, s.ground_kp * depth - s.ground_kd * v_n)
     fn = jnp.where(in_c, fn, 0.0)
 
-    mu = terrain_mod.sample_mu(terr, feet[:, 0:2])
-    p_xy = feet[:, 0:2]
-    ft_raw = (-s.tangent_kp * (p_xy - st.anchor)
-              - s.tangent_kd * v_feet[:, 0:2])
+    mu = terrain_mod.sample_mu(terr, p_xy)
+    # tangential spring: xy anchor displacement + foot velocity, both
+    # projected into the tangent plane
+    d3 = jnp.concatenate([p_xy - st.anchor,
+                          jnp.zeros_like(fn)[:, None]], axis=-1)
+    d_t = d3 - jnp.sum(normal * d3, axis=-1, keepdims=True) * normal
+    v_t = v_feet - v_n[:, None] * normal
+    ft_raw = -s.tangent_kp * d_t - s.tangent_kd * v_t        # (4,3)
     ft_norm = jnp.linalg.norm(ft_raw, axis=-1)
     ft_max = mu * fn
     over = ft_norm > ft_max
@@ -75,11 +92,11 @@ def contact_forces(cfg: EngineConfig, st: SimState,
 
     # anchor update: free feet re-anchor at the foot; sliding feet drag the
     # anchor so the spring force equals the clamped force
-    anchor_slide = p_xy + ft / s.tangent_kp
+    anchor_slide = p_xy + ft[:, 0:2] / s.tangent_kp
     new_anchor = jnp.where(in_c[:, None],
                            jnp.where(over[:, None], anchor_slide, st.anchor),
                            p_xy)
-    f = jnp.concatenate([ft, fn[:, None]], axis=-1)
+    f = ft + fn[:, None] * normal
     return ContactInfo(forces=f, in_contact=in_c, slipping=slipping), new_anchor
 
 

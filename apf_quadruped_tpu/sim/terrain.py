@@ -1,4 +1,4 @@
-"""Friction-coefficient terrain maps (the slippery-patch worlds).
+"""Terrain: friction-coefficient maps + height fields.
 
 In the reference, "obstacles" are thin boxes/cylinders whose ONLY functional
 property is reduced contact friction (mu in the <surface><friction> block:
@@ -8,11 +8,22 @@ worlds (dogbot_gazebo/worlds/case*.world).  Here a terrain IS a mu grid:
 scenario generation rasterizes patch primitives into a (res x res) array,
 and the contact model samples mu at each foot — fully batched, so thousands
 of random worlds run per chip.
+
+Height fields re-derive towr's HeightMap interface (reference
+include/towr/terrain/height_map.h:100-170: GetHeight + derivative-based
+normals/tangent bases + per-terrain friction coeff) the TPU way: instead
+of C++ virtual dispatch over analytic terrain classes, a terrain is a
+rasterized (res x res) height grid sampled BILINEARLY, with normals from
+the bilinear gradient — branch-free, batched, one compiled program for
+every terrain.  The towr example terrains (height_map_examples.h:
+Block:57-71, Stairs:76-87, Gap:92-115, Slope:120-131, Chimney:136-148,
+ChimneyLR:152-166) are provided as grid builders with the reference's
+parameter values, rotated into this package's +y-forward convention.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,13 +32,14 @@ from ..config import SimConfig
 
 
 class Terrain(NamedTuple):
-    """mu_map: (.., res, res) friction grid over
-    [-extent, extent]^2; ground height is 0 everywhere (FlatGround, the
-    terrain the reference actually uses — topt.cpp:9)."""
+    """mu_map: (.., res, res) friction grid over [-extent, extent]^2.
+    h_map: optional (.., res, res) ground-height grid (None = FlatGround
+    at z=0, the terrain the reference app actually uses — topt.cpp:9)."""
 
     mu_map: jnp.ndarray
     extent: float
     res: int
+    h_map: Optional[jnp.ndarray] = None
 
 
 def flat(cfg: SimConfig, mu: float | None = None, batch=(),
@@ -44,6 +56,54 @@ def sample_mu(t: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
     scale = t.res / (2.0 * t.extent)
     ij = jnp.clip(((xy + t.extent) * scale), 0, t.res - 1).astype(jnp.int32)
     return t.mu_map[..., ij[..., 1], ij[..., 0]]
+
+
+def _bilinear(grid: jnp.ndarray, xy: jnp.ndarray, extent: float, res: int):
+    """Bilinear sample of (.., res, res) grid at world xy (.., 2).
+
+    Returns (value, d/dx, d/dy).  Grid cell centers sit at
+    (i + 0.5) / res * 2*extent - extent (matching _grid below).
+    """
+    scale = res / (2.0 * extent)                      # cells per meter
+    u = (xy + extent) * scale - 0.5                   # continuous cell coords
+    u = jnp.clip(u, 0.0, res - 1.000001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    i1 = jnp.minimum(i0 + 1, res - 1)
+    ix0, iy0 = i0[..., 0], i0[..., 1]
+    ix1, iy1 = i1[..., 0], i1[..., 1]
+    fx, fy = f[..., 0], f[..., 1]
+    g00 = grid[..., iy0, ix0]
+    g10 = grid[..., iy0, ix1]
+    g01 = grid[..., iy1, ix0]
+    g11 = grid[..., iy1, ix1]
+    v0 = g00 * (1 - fx) + g10 * fx
+    v1 = g01 * (1 - fx) + g11 * fx
+    val = v0 * (1 - fy) + v1 * fy
+    ddx = ((g10 - g00) * (1 - fy) + (g11 - g01) * fy) * scale
+    ddy = (v1 - v0) * scale
+    return val, ddx, ddy
+
+
+def sample_height(t: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
+    """Ground height at world xy ((.., 2)); 0 for flat terrains.
+    (towr HeightMap::GetHeight, height_map.h:100.)"""
+    if t.h_map is None:
+        return jnp.zeros(xy.shape[:-1], xy.dtype)
+    val, _, _ = _bilinear(t.h_map, xy, t.extent, t.res)
+    return val
+
+
+def sample_normal(t: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
+    """Unit surface normal at world xy: n ∝ (-dh/dx, -dh/dy, 1).
+    (towr HeightMap::GetNormalizedBasis(Normal), height_map.cc via
+    GetHeightDeriv — same construction from the height gradient.)"""
+    if t.h_map is None:
+        n = jnp.zeros(xy.shape[:-1] + (3,), xy.dtype)
+        return n.at[..., 2].set(1.0)
+    _, ddx, ddy = _bilinear(t.h_map, xy, t.extent, t.res)
+    n = jnp.stack([-ddx, -ddy, jnp.ones_like(ddx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
 def _grid(cfg: SimConfig):
@@ -95,6 +155,116 @@ def case_world(cfg: SimConfig, case: int, dtype=jnp.float32) -> Terrain:
         m = add_box(cfg, m, 0.0, 1.5, 0.9, 0.7, 0.15)
     return Terrain(mu_map=jnp.asarray(m, dtype), extent=cfg.terrain_extent,
                    res=cfg.terrain_res)
+
+
+# --- towr example height maps as grid builders --------------------------
+# Parameters from reference include/towr/terrain/examples/
+# height_map_examples.h (cited per builder).  towr's walking direction is
+# +x; this package walks +y, so the towr "x" coordinate maps to our y and
+# the towr "y" (lateral) to our x.
+
+def _height_world(cfg: SimConfig, fn, dtype=jnp.float32,
+                  mu: float | None = None) -> Terrain:
+    """Rasterize height fn(fwd, lat) -> z onto the grid.  fwd = our +y."""
+    X, Y = _grid(cfg)
+    h = fn(Y, X)                                      # fwd = y, lat = x
+    m = np.full_like(h, cfg.mu_default if mu is None else mu)
+    return Terrain(mu_map=jnp.asarray(m, dtype), extent=cfg.terrain_extent,
+                   res=cfg.terrain_res, h_map=jnp.asarray(h, dtype))
+
+
+def block(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """One step up (towr Block, height_map_examples.h:57-71: start 0.7,
+    length 3.5, height 0.5, 0.03 m slope-smoothed edge)."""
+    start, length, height, eps = 0.7, 3.5, 0.5, 0.03
+
+    def fn(f, l):
+        ramp = np.clip((f - start) / eps, 0.0, 1.0)
+        inside = (f <= start + length).astype(float)
+        return height * ramp * inside
+
+    return _height_world(cfg, fn, dtype)
+
+
+def stairs(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """Two steps (towr Stairs, height_map_examples.h:76-87: first step at
+    1.0 width 0.4 height 0.2, second step height 0.4, top width 1.0)."""
+    s1, w1, h1, h2, wtop = 1.0, 0.4, 0.2, 0.4, 1.0
+
+    def fn(f, l):
+        h = np.zeros_like(f)
+        h = np.where(f >= s1, h1, h)
+        h = np.where(f >= s1 + w1, h2, h)
+        h = np.where(f >= s1 + w1 + wtop, 0.0, h)
+        return h
+
+    return _height_world(cfg, fn, dtype)
+
+
+def gap(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """Parabolic gap (towr Gap, height_map_examples.h:92-115: start 1.0,
+    width 0.5, depth 1.5, z = a f^2 + b f + c inside the gap)."""
+    start, w, depth = 1.0, 0.5, 1.5
+    xc = start + w / 2.0
+    a = 4.0 * depth / (w * w)
+    b = -8.0 * depth * xc / (w * w)
+    c = -depth * (w - 2 * xc) * (w + 2 * xc) / (w * w)
+
+    def fn(f, l):
+        inside = (f > start) & (f < start + w)
+        return np.where(inside, a * f * f + b * f + c, 0.0)
+
+    return _height_world(cfg, fn, dtype)
+
+
+def slope(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """Up-then-down ramp (towr Slope, height_map_examples.h:120-131:
+    start 1.0, up 1.0 m to height 0.7, down 1.0 m)."""
+    start, up_len, down_len, hc = 1.0, 1.0, 1.0, 0.7
+    grade = hc / up_len
+
+    def fn(f, l):
+        h = np.clip((f - start) * grade, 0.0, hc)
+        down = f - (start + up_len)
+        h = np.where(down > 0, np.maximum(hc - down * (hc / down_len), 0.0),
+                     h)
+        return h
+
+    return _height_world(cfg, fn, dtype)
+
+
+def chimney(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """Tilted side-wall corridor (towr Chimney, height_map_examples.h:
+    136-148: for x_start<f<x_end, z = slope*(lat - y_start) on one side;
+    slope 3.0, y_start 0.5, length 1.5)."""
+    start, length, y_start, grade = 1.0, 1.5, 0.5, 3.0
+
+    def fn(f, l):
+        inside = (f > start) & (f < start + length)
+        wall = np.maximum(0.0, grade * (l - y_start))
+        return np.where(inside, wall, 0.0)
+
+    return _height_world(cfg, fn, dtype)
+
+
+def chimney_lr(cfg: SimConfig, dtype=jnp.float32) -> Terrain:
+    """Two-walled chimney (towr ChimneyLR, height_map_examples.h:152-166:
+    left wall over the first length, right wall over the second; slope 2,
+    y_start 0.5)."""
+    start, length, y_start, grade = 0.5, 1.0, 0.5, 2.0
+
+    def fn(f, l):
+        seg1 = (f > start) & (f <= start + length)
+        seg2 = (f > start + length) & (f <= start + 2 * length)
+        wall_l = np.maximum(0.0, grade * (l - y_start))
+        wall_r = np.maximum(0.0, grade * (-l - y_start))
+        return np.where(seg1, wall_l, 0.0) + np.where(seg2, wall_r, 0.0)
+
+    return _height_world(cfg, fn, dtype)
+
+
+HEIGHT_WORLDS = {"block": block, "stairs": stairs, "gap": gap,
+                 "slope": slope, "chimney": chimney, "chimney_lr": chimney_lr}
 
 
 def random_patches(cfg: SimConfig, rng: np.random.Generator, n_patches=5,

@@ -73,3 +73,40 @@ def test_horizon_contacts_shape():
     assert m.shape == (2, 20, 4)
     # first knots are stand prefix
     np.testing.assert_allclose(m[:, 0, :], 1.0)
+
+
+def test_biped_walk_alternates_feet():
+    """Flag 8 (biped C0): stand prefix then swing L (stance b = slot 0)
+    then swing R (stance P = slot 1); front slots never touch."""
+    flag = jnp.asarray(8)
+    cyc = jnp.asarray(1.0)
+    total = 0.2 + 0.3 + 0.05 + 0.3 + 0.05   # biped_stand + biped_walk
+    sc = 1.0 / total
+    c = gait.contact_state(flag, jnp.asarray(0.1 * sc), cyc)
+    np.testing.assert_allclose(c, [1, 1, 0, 0])          # stand
+    c = gait.contact_state(flag, jnp.asarray((0.2 + 0.15) * sc), cyc)
+    np.testing.assert_allclose(c, [1, 0, 0, 0])          # swing left
+    c = gait.contact_state(flag, jnp.asarray((0.2 + 0.35 + 0.15) * sc), cyc)
+    np.testing.assert_allclose(c, [0, 1, 0, 0])          # swing right
+
+
+def test_monoped_hop_duty_cycle():
+    """Flag 13 (monoped hop): only slot 0 ever in stance; flight phases
+    exist (monoped_gait_generator.cc:92-106)."""
+    cyc = jnp.asarray(1.0)
+    ts = jnp.linspace(0.0, 0.999, 199)
+    c = np.asarray(gait.contact_state(
+        jnp.full(ts.shape, 13, dtype=jnp.int32), ts, jnp.full(ts.shape, 1.0)))
+    assert (c[:, 1:] == 0).all()          # masked slots never in stance
+    # slot 0: both stance and flight occur
+    assert 0.2 < c[:, 0].mean() < 0.95
+
+
+def test_biped_run_has_flight():
+    flag = jnp.asarray(9)
+    cyc = jnp.asarray(1.0)
+    ts = jnp.linspace(0.0, 0.999, 199)
+    c = np.asarray(gait.contact_state(
+        jnp.full(ts.shape, 9, dtype=jnp.int32), ts, jnp.full(ts.shape, 1.0)))
+    airborne = (c.sum(axis=-1) == 0)
+    assert airborne.any(), "run stride must contain flight phases"
