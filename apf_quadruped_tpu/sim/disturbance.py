@@ -4,8 +4,12 @@ The reference's Gazebo ModelPlugin pushes leg/base links with sinusoidal,
 impulsive, or randomized forces per case study (reference
 force_plugin/src/force_plugin.cpp:124-494, scenario blocks commented out).
 Here a disturbance is DATA: a (n_events, 7) array of
-[t_start, t_end, fx, fy, fz, _, _] rows, evaluated branch-free at sim time
-t and summed — batched over scenarios like everything else.
+[t_start, t_end, fx, fy, fz, omega, phase] rows, evaluated branch-free at
+sim time t and summed — batched over scenarios like everything else.
+Rows with omega == 0 are constant pushes over [t_start, t_end) (the
+impulse / random-push case studies); rows with omega > 0 modulate the
+force by sin(omega*t + phase) (the sinusoidal case-study block,
+force_plugin.cpp:132-139: x_dist = 20*sin(t)).
 """
 
 from __future__ import annotations
@@ -24,6 +28,16 @@ def impulses(events, dtype=jnp.float32) -> jnp.ndarray:
     for i, (t0, t1, fx, fy, fz) in enumerate(events):
         out[i, :5] = (t0, t1, fx, fy, fz)
     return jnp.asarray(out, dtype)
+
+
+def sinusoidal(amp_xyz, omega: float, t0: float = 0.0, t1: float = 1e9,
+               phase: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal push f(t) = amp * sin(omega*t + phase) over [t0, t1).
+
+    Mirrors force_plugin's case-1 block (force_plugin.cpp:132-139:
+    x_dist = 20*sin(t) applied continuously)."""
+    ax, ay, az = amp_xyz
+    return jnp.asarray([[t0, t1, ax, ay, az, omega, phase]], dtype)
 
 
 def random_pushes(rng: np.random.Generator, horizon_s: float, n=4,
@@ -45,4 +59,8 @@ def eval_at(schedule: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     schedule: (.., n_events, 7)."""
     active = ((t[..., None] >= schedule[..., 0])
               & (t[..., None] < schedule[..., 1]))
-    return jnp.sum(schedule[..., 2:5] * active[..., None], axis=-2)
+    omega = schedule[..., 5]
+    mod = jnp.where(omega > 0,
+                    jnp.sin(omega * t[..., None] + schedule[..., 6]),
+                    jnp.ones_like(omega))
+    return jnp.sum(schedule[..., 2:5] * (active * mod)[..., None], axis=-2)

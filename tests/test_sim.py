@@ -139,3 +139,24 @@ def test_disturbance_schedule():
     np.testing.assert_allclose(f, [0.0, 0.0, 0.0])
     f = disturbance.eval_at(sched, jnp.asarray(2.05, DT))
     np.testing.assert_allclose(f, [0.0, -30.0, 0.0])
+
+
+def test_disturbance_sinusoidal():
+    # force_plugin case-1 block: x push = 20*sin(t) (force_plugin.cpp:132-139)
+    sched = disturbance.sinusoidal((20.0, 0.0, 0.0), omega=1.0, dtype=DT)
+    for t in (0.3, 1.1, 2.7):
+        f = np.asarray(disturbance.eval_at(sched, jnp.asarray(t, DT)))
+        np.testing.assert_allclose(f, [20.0 * np.sin(t), 0.0, 0.0],
+                                   rtol=1e-5, atol=1e-6)
+    # windowing still applies
+    sched = disturbance.sinusoidal((20.0, 0.0, 0.0), omega=1.0,
+                                   t0=1.0, t1=2.0, dtype=DT)
+    f = np.asarray(disturbance.eval_at(sched, jnp.asarray(0.5, DT)))
+    np.testing.assert_allclose(f, [0.0, 0.0, 0.0])
+    # constant rows (omega == 0) are unchanged by the modulation path
+    mixed = jnp.concatenate([
+        disturbance.impulses([(0.0, 1.0, 5.0, 0.0, 0.0)], dtype=DT),
+        disturbance.sinusoidal((0.0, 3.0, 0.0), omega=2.0, dtype=DT)])
+    f = np.asarray(disturbance.eval_at(mixed, jnp.asarray(0.25, DT)))
+    np.testing.assert_allclose(f, [5.0, 3.0 * np.sin(0.5), 0.0],
+                               rtol=1e-5, atol=1e-6)
