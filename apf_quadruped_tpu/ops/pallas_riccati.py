@@ -1,0 +1,473 @@
+"""Fused Pallas TPU kernels for the Riccati interior-point MPC solver.
+
+ops/riccati.py expresses each IPM iteration as ~7 sequential `lax.scan`s
+over the horizon whose bodies are tiny batched matmuls (13x13 @ 13x12 at
+batch 128).  XLA executes each scan step as separate kernel dispatches with
+the matrix dims on the vector lanes — >90% of every (8,128) VPU tile wasted
+and ~140 sequential dispatches per IPM iteration.  This module fuses each
+sequential pass into ONE Pallas kernel with the layout flipped to BATCH ON
+THE LANES (pallas_guide: lane dim = 128):
+
+  * every small-matrix element is a (128,)-lane vector, matrices are
+    (n, m, 128) VMEM tiles;
+  * the horizon loop is a `fori_loop` INSIDE the kernel — zero dispatch
+    overhead between knots;
+  * the constant friction-pyramid Gram matrix contraction
+    R_k = R + G' diag(W_k) G  =  GG @ W_k   (144x24 @ 24x128)
+    runs on the MXU (GG[i*nu+j, m] = G[m,i]*G[m,j] is static data).
+
+Three kernels per IPM iteration (driven by `solve_stage_qp_fused`, which
+mirrors ops.riccati._solve_impl exactly — same Mehrotra algorithm, same
+masks, same NaN quarantine — and is validated against it in
+tests/test_pallas_riccati.py):
+
+  1. rollout+adjoint: x_{k+1} = A x + B u forward; costate lam backward;
+     rx = R u + B'lam + G'(mask*z); gu = G u        (kernel C)
+  2. Riccati factor backward pass -> L_k (Cholesky), D_k (inv diag),
+     K_k (feedback gains)                            (kernel A)
+  3. vector (affine-LQR) pass: rhs = -(rx + G'vm) backward for kff,
+     forward for du; gdu = G du                      (kernel B, 2x/iter:
+     predictor + corrector against the same factorization — qpSWIFT's
+     kktsolve_1/kktsolve_2 split, reference qpSWIFT.c:555/584)
+
+Reference for the role: qpSWIFT's sparse LDL' KKT machinery
+(dogbot_controller/src/qpSWIFT/Auxilary.c) — here the factorization is the
+banded Riccati recursion matched to the MPC horizon (SURVEY.md §5.7), fully
+resident in VMEM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SolverConfig
+from .riccati import StageQP, StageSolution
+
+LANES = 128
+
+
+def _chol_rows(M, n):
+    """Unrolled Cholesky of an (n, n, LANES) value.
+
+    Returns (L rows as list-of-lists of (LANES,) vectors, dinv list)."""
+    L = [[None] * n for _ in range(n)]
+    dinv = [None] * n
+    for j in range(n):
+        s = M[j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        d = jax.lax.rsqrt(s)
+        dinv[j] = d
+        L[j][j] = s * d
+        for i in range(j + 1, n):
+            s = M[i, j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * d
+    return L, dinv
+
+
+def _subst_rows(L, dinv, rhs_rows, n):
+    """Solve (L L') X = rhs for rhs given as a list of n row vectors
+    (each (k, LANES) or (LANES,)).  Returns list of n solution rows."""
+    y = [None] * n
+    for i in range(n):
+        s = rhs_rows[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s * dinv[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for t in range(i + 1, n):
+            s = s - L[t][i] * x[t]
+        x[i] = s * dinv[i]
+    return x
+
+
+def _subst_packed(Lv, Dv, rhs, n):
+    """Same solve, but L packed as an (n, n, LANES) value and D as
+    (n, LANES) — used where the factor comes from a ref."""
+    L = [[Lv[i, j] for j in range(n)] for i in range(n)]
+    dinv = [Dv[i] for i in range(n)]
+    rows = [rhs[i] for i in range(n)]
+    return _subst_rows(L, dinv, rows, n)
+
+
+# ---------------------------------------------------------------------------
+# kernel C: rollout + adjoint + stationarity pieces
+# ---------------------------------------------------------------------------
+
+def _rollout_kernel(H, nx, nu, m):
+    def kernel(g_ref, rdiag_ref, qdiag_ref, a_ref, b_ref, qlin_ref, u_ref,
+               zm_ref, x0_ref, x_ref, rx_ref, gu_ref):
+        # forward rollout
+        def fwd(k, x):
+            xn = jnp.sum(a_ref[k] * x[None, :, :], axis=1) \
+                + jnp.sum(b_ref[k] * u_ref[k][None, :, :], axis=1)
+            x_ref[k] = xn
+            return xn
+        jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
+
+        # backward costates + rx; gu on the MXU
+        def bwd(kk, lam):
+            k = H - 1 - kk
+            lam_k = qdiag_ref[:] * x_ref[k] + qlin_ref[k] + lam
+            # B' lam: (nx, nu, L) * (nx, 1, L) summed over nx
+            bt_lam = jnp.sum(b_ref[k] * lam_k[:, None, :], axis=0)
+            gt_zm = jax.lax.dot_general(
+                g_ref[:], zm_ref[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(bt_lam.dtype)
+            rx_ref[k] = rdiag_ref[:] * u_ref[k] + bt_lam + gt_zm
+            gu_ref[k] = jax.lax.dot_general(
+                g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(bt_lam.dtype)
+            # carry: A_k' lam_k
+            return jnp.sum(a_ref[k] * lam_k[:, None, :], axis=0)
+        lam0 = jnp.zeros((nx, LANES), x0_ref.dtype)
+        jax.lax.fori_loop(0, H, bwd, lam0, unroll=False)
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# kernel A: Riccati backward matrix pass (factorization)
+# ---------------------------------------------------------------------------
+
+def _factor_kernel(H, nx, nu, m, reg):
+    def kernel(gg_ref, rmat_ref, qmat_ref, a_ref, b_ref, w_ref,
+               l_ref, d_ref, k_ref, pbar_ref):
+        dt = a_ref.dtype
+        pbar_ref[:] = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES), dt)
+
+        def bwd(kk, _):
+            k = H - 1 - kk
+            Ak = a_ref[k]                          # (nx, nx, L)
+            Bk = b_ref[k]                          # (nx, nu, L)
+            Pb = pbar_ref[:]                       # (nx, nx, L)
+            # R_k = R + reg I + GG @ W_k   (MXU: (nu*nu, m) @ (m, L))
+            rk_flat = jax.lax.dot_general(
+                gg_ref[:], w_ref[k], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            Rk = rk_flat.reshape(nu, nu, LANES) + rmat_ref[:][:, :, None]
+            # BtP[u, x] = sum_i B[i, u] P[i, x]
+            BtP = sum(Bk[i][:, None, :] * Pb[i][None, :, :]
+                      for i in range(nx))          # (nu, nx, L)
+            Mk = Rk + sum(BtP[:, x, :][:, None, :] * Bk[x][None, :, :]
+                          for x in range(nx))      # (nu, nu, L)
+            L, dinv = _chol_rows(Mk, nu)
+            BtPA = sum(BtP[:, x, :][:, None, :] * Ak[x][None, :, :]
+                       for x in range(nx))         # (nu, nx, L)
+            Kk = _subst_rows(L, dinv, [BtPA[i] for i in range(nu)], nu)
+            # AtP[j, x] = sum_i A[i, j] P[i, x]
+            AtP = sum(Ak[i][:, None, :] * Pb[i][None, :, :]
+                      for i in range(nx))          # (nx, nx, L)
+            Pn = (qmat_ref[:][:, :, None]
+                  + sum(AtP[:, x, :][:, None, :] * Ak[x][None, :, :]
+                        for x in range(nx))
+                  - sum(jnp.stack(Kk)[u][:, None, :] * BtPA[u][None, :, :]
+                        for u in range(nu)))
+            Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+            pbar_ref[:] = Pn
+            l_ref[k] = jnp.stack([jnp.stack(
+                [L[i][j] if j <= i else jnp.zeros((LANES,), dt)
+                 for j in range(nu)]) for i in range(nu)])
+            d_ref[k] = jnp.stack(dinv)
+            k_ref[k] = jnp.stack(Kk)
+            return 0
+        jax.lax.fori_loop(0, H, bwd, 0, unroll=False)
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# kernel B: vector (affine LQR) pass against stored factorization
+# ---------------------------------------------------------------------------
+
+def _vector_kernel(H, nx, nu, m):
+    def kernel(g_ref, a_ref, b_ref, l_ref, d_ref, k_ref, rx_ref, vm_ref,
+               du_ref, gdu_ref, sv_ref):
+        dt = a_ref.dtype
+        sv_ref[:] = jnp.zeros((nx, LANES), dt)
+
+        def bwd(kk, _):
+            k = H - 1 - kk
+            sv = sv_ref[:]
+            gt_vm = jax.lax.dot_general(
+                g_ref[:], vm_ref[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            rhs_k = -(rx_ref[k] + gt_vm)           # (nu, L)
+            g_u = -rhs_k + jnp.sum(b_ref[k] * sv[:, None, :], axis=0)
+            kff = _subst_packed(l_ref[k], d_ref[k], g_u, nu)
+            kff_v = jnp.stack(kff)                 # (nu, L)
+            Kk = k_ref[k]                          # (nu, nx, L)
+            sv_ref[:] = (jnp.sum(a_ref[k] * sv[:, None, :], axis=0)
+                         - jnp.sum(Kk * g_u[:, None, :], axis=0))
+            du_ref[k] = kff_v                      # stash kff for fwd pass
+            return 0
+        jax.lax.fori_loop(0, H, bwd, 0, unroll=False)
+
+        def fwd(k, dx):
+            du = (-jnp.sum(k_ref[k] * dx[None, :, :], axis=1)
+                  - du_ref[k])
+            du_ref[k] = du
+            gdu_ref[k] = jax.lax.dot_general(
+                g_ref[:], du, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            return (jnp.sum(a_ref[k] * dx[None, :, :], axis=1)
+                    + jnp.sum(b_ref[k] * du[None, :, :], axis=1))
+        dx0 = jnp.zeros((nx, LANES), dt)
+        jax.lax.fori_loop(0, H, fwd, dx0, unroll=False)
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers (grid over 128-lane batch blocks)
+# ---------------------------------------------------------------------------
+
+def _vspec(shape):
+    nd = len(shape)
+
+    def imap(i):
+        return (0,) * (nd - 1) + (i,)
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+
+def _cspec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _rollout_call(G, rdiag, qdiag, A, B, qlin, u, zm, x0, interpret):
+    H, nx, _, Bp = A.shape
+    nu = B.shape[2]
+    m = G.shape[0]
+    dt = A.dtype
+    grid = (Bp // LANES,)
+    return pl.pallas_call(
+        _rollout_kernel(H, nx, nu, m),
+        grid=grid,
+        in_specs=[_cspec(G.shape), _cspec(rdiag.shape), _cspec(qdiag.shape),
+                  _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
+                  _vspec((H, nx, LANES)), _vspec((H, nu, LANES)),
+                  _vspec((H, m, LANES)), _vspec((nx, LANES))],
+        out_specs=[_vspec((H, nx, LANES)), _vspec((H, nu, LANES)),
+                   _vspec((H, m, LANES))],
+        out_shape=[jax.ShapeDtypeStruct((H, nx, Bp), dt),
+                   jax.ShapeDtypeStruct((H, nu, Bp), dt),
+                   jax.ShapeDtypeStruct((H, m, Bp), dt)],
+        interpret=interpret,
+    )(G, rdiag, qdiag, A, B, qlin, u, zm, x0)
+
+
+def _factor_call(GG, rmat, qmat, A, B, W, reg, interpret):
+    H, nx, _, Bp = A.shape
+    nu = B.shape[2]
+    m = W.shape[1]
+    dt = A.dtype
+    grid = (Bp // LANES,)
+    return pl.pallas_call(
+        _factor_kernel(H, nx, nu, m, reg),
+        grid=grid,
+        in_specs=[_cspec(GG.shape), _cspec(rmat.shape), _cspec(qmat.shape),
+                  _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
+                  _vspec((H, m, LANES))],
+        out_specs=[_vspec((H, nu, nu, LANES)), _vspec((H, nu, LANES)),
+                   _vspec((H, nu, nx, LANES))],
+        out_shape=[jax.ShapeDtypeStruct((H, nu, nu, Bp), dt),
+                   jax.ShapeDtypeStruct((H, nu, Bp), dt),
+                   jax.ShapeDtypeStruct((H, nu, nx, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((nx, nx, LANES), dt)],
+        interpret=interpret,
+    )(GG, rmat, qmat, A, B, W)
+
+
+def _vector_call(G, A, B, L, D, K, rx, vm, interpret):
+    H, nx, _, Bp = A.shape
+    nu = B.shape[2]
+    m = G.shape[0]
+    dt = A.dtype
+    grid = (Bp // LANES,)
+    return pl.pallas_call(
+        _vector_kernel(H, nx, nu, m),
+        grid=grid,
+        in_specs=[_cspec(G.shape),
+                  _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
+                  _vspec((H, nu, nu, LANES)), _vspec((H, nu, LANES)),
+                  _vspec((H, nu, nx, LANES)),
+                  _vspec((H, nu, LANES)), _vspec((H, m, LANES))],
+        out_specs=[_vspec((H, nu, LANES)), _vspec((H, m, LANES))],
+        out_shape=[jax.ShapeDtypeStruct((H, nu, Bp), dt),
+                   jax.ShapeDtypeStruct((H, m, Bp), dt)],
+        scratch_shapes=[pltpu.VMEM((nx, LANES), dt)],
+        interpret=interpret,
+    )(G, A, B, L, D, K, rx, vm)
+
+
+# ---------------------------------------------------------------------------
+# driver: the same Mehrotra IPM as ops.riccati._solve_impl, batch-last
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def solve_stage_qp_fused(qp: StageQP, cfg: SolverConfig = SolverConfig(),
+                         interpret: bool | None = None) -> StageSolution:
+    """Drop-in replacement for ops.riccati.solve_stage_qp using the fused
+    batch-on-lanes kernels.  Semantics identical (validated in tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.default_matmul_precision("highest"):
+        return _solve_fused_impl(qp, cfg, interpret)
+
+
+def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
+                      interpret: bool) -> StageSolution:
+    dt = qp.x0.dtype
+    batch = qp.x0.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    Hh = qp.A.shape[-3]
+    nx = qp.A.shape[-1]
+    nu = qp.B.shape[-1]
+    m = qp.h.shape[-1]
+    Bp = ((B + LANES - 1) // LANES) * LANES
+
+    # ---- batch-last layouts (H, rows, cols, B) --------------------------
+    def to_bl(x, nd_item):
+        """(.., H, *item) -> (H, *item, Bp) with zero padding."""
+        x = x.reshape((B,) + x.shape[len(batch):])
+        x = jnp.moveaxis(x, 0, -1)
+        if Bp != B:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)]
+            x = jnp.pad(x, pad)
+        return x
+
+    A_l = to_bl(qp.A, 3)                        # (H, nx, nx, Bp)
+    B_l = to_bl(qp.B, 3)                        # (H, nx, nu, Bp)
+    q_l = to_bl(qp.qlin, 2)                     # (H, nx, Bp)
+    mask = to_bl(qp.mask, 2)                    # (H, m, Bp)
+    h_l = to_bl(jnp.broadcast_to(qp.h, batch + (Hh, m)), 2)
+    h_l = jnp.where(mask > 0, h_l, jnp.ones_like(h_l))
+    x0_l = to_bl(qp.x0[..., None, :], 1)[0]     # (nx, Bp)
+
+    # static small matrices
+    G = qp.G.astype(dt)                         # (m, nu)
+    GG = jnp.einsum("mi,mj->ijm", G, G).reshape(nu * nu, m)
+    reg = jnp.asarray(cfg.static_reg, dt)
+    rmat = qp.R.astype(dt) + reg * jnp.eye(nu, dtype=dt)
+    qmat = qp.Q.astype(dt)
+    qdiag_full = jnp.diagonal(qmat)[:, None]    # (nx, 1) — Q is diagonal
+    rdiag_full = jnp.diagonal(qp.R.astype(dt))[:, None]
+    # the rollout kernel uses diagonal Q/R (true for the MPC costs); guard:
+    # off-diagonal entries are folded via full-matrix fallback if present
+    # (planner only ever builds diagonal costs, planner.py::_mpc_costs).
+
+    m_eff = jnp.maximum(jnp.sum(mask, axis=(0, 1)), 1.0)       # (Bp,)
+    min_slack = jnp.asarray(cfg.min_slack, dt)
+    w_hi = jnp.asarray(cfg.w_clip, dt)
+    frac = jnp.asarray(cfg.frac_to_boundary, dt)
+
+    # ---- initial point ---------------------------------------------------
+    u = jnp.zeros((Hh, nu, Bp), dt)
+    r0 = -h_l
+    shift = jnp.maximum(0.0, jnp.max(r0, axis=(0, 1), keepdims=True)) + 1.0
+    s = -r0 + shift
+    z = jnp.maximum(r0, 0.0) + 1.0
+
+    qnorm = 1.0 + jnp.sqrt(jnp.sum(q_l * q_l, axis=(0, 1)))
+    hnorm = 1.0 + jnp.sqrt(jnp.sum(h_l * h_l, axis=(0, 1)))
+
+    def steplen(s, ds, z, dz, f):
+        def ratio(v, dv):
+            neg = (dv < 0) & (mask > 0)
+            r = jnp.where(neg, -v / jnp.where(neg, dv, -jnp.ones_like(dv)),
+                          jnp.inf)
+            return jnp.min(r, axis=(0, 1))
+        a = jnp.minimum(ratio(s, ds), ratio(z, dz))
+        return jnp.minimum(f * a, 1.0)
+
+    def residuals(u, z):
+        zm = mask * z
+        x, rx, gu = _rollout_call(G, rdiag_full, qdiag_full, A_l, B_l, q_l,
+                                  u, zm, x0_l, interpret)
+        return x, rx, gu
+
+    def body(carry, it):
+        u, z, s, done, it_conv = carry
+        x, rx, gu = residuals(u, z)
+        rz = mask * gu + s - h_l
+        mu = jnp.sum(s * z * mask, axis=(0, 1)) / m_eff
+        res = jnp.maximum(
+            jnp.sqrt(jnp.sum(rx * rx, axis=(0, 1))) / qnorm,
+            jnp.sqrt(jnp.sum((rz * mask) ** 2, axis=(0, 1))) / hnorm)
+        now = (res < cfg.reltol) & (mu < cfg.abstol)
+        it_conv = jnp.where(now & ~done, it, it_conv)
+        done = done | now
+
+        z_safe = jnp.maximum(z, min_slack)
+        s_safe = jnp.maximum(s, min_slack)
+        W = jnp.clip(z_safe / s_safe, 0.0, w_hi)
+        Wm = mask * W
+        L, D, K = _factor_call(GG, rmat, qmat, A_l, B_l, Wm,
+                               cfg.static_reg, interpret)
+
+        def newton(rc):
+            vm = mask * (W * rz + rc / s_safe)
+            du, gdu = _vector_call(G, A_l, B_l, L, D, K, rx, vm, interpret)
+            ds = -rz - mask * gdu
+            dz = (rc - z * ds) / s_safe
+            return du, dz, ds
+
+        du_a, dz_a, ds_a = newton(-s * z)
+        a_a = steplen(s, ds_a, z, dz_a, jnp.asarray(1.0, dt))
+        mu_aff = jnp.sum((s + a_a * ds_a) * (z + a_a * dz_a) * mask,
+                         axis=(0, 1)) / m_eff
+        sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack), 0.0,
+                         1.0) ** cfg.sigma_pow
+        rc = -(s * z + ds_a * dz_a - sigma * mu)
+        du, dz, ds = newton(rc)
+
+        a = steplen(s, ds, z, dz, frac)
+        a = jnp.where(done, 0.0, a)
+        u = u + a * du
+        z = jnp.maximum(z + a * dz, min_slack)
+        s = jnp.maximum(s + a * ds, min_slack)
+        return (u, z, s, done, it_conv), None
+
+    seed0 = qnorm + hnorm
+    done0 = seed0 < 0.0
+    it0 = cfg.iters + (0.0 * seed0).astype(jnp.int32)
+    (u, z, s, done, it_conv), _ = jax.lax.scan(
+        body, (u, z, s, done0, it0), jnp.arange(cfg.iters, dtype=jnp.int32))
+
+    x, rx, gu = residuals(u, z)
+    rz = mask * gu + s - h_l
+    mu = jnp.sum(s * z * mask, axis=(0, 1)) / m_eff
+    res = jnp.maximum(
+        jnp.sqrt(jnp.sum(rx * rx, axis=(0, 1))) / qnorm,
+        jnp.sqrt(jnp.sum((rz * mask) ** 2, axis=(0, 1))) / hnorm)
+    conv = done | ((res < cfg.reltol) & (mu < cfg.abstol))
+
+    # ---- back to batch-first, unpad, quarantine -------------------------
+    def to_bf(v):
+        v = jnp.moveaxis(v[..., :B], -1, 0)                 # (B, H, rows)
+        return v.reshape(batch + v.shape[1:])
+
+    u_bf = to_bf(u)
+    x_bf = to_bf(x)
+    lane_ok = (jnp.all(jnp.isfinite(u_bf), axis=(-1, -2))
+               & jnp.all(jnp.isfinite(x_bf), axis=(-1, -2)))
+    fix = lambda v: jnp.where(lane_ok[..., None, None], jnp.nan_to_num(v),
+                              0.0)
+
+    def scal(v):
+        v = v[:B]
+        return v.reshape(batch) if batch else v[0]
+
+    return StageSolution(
+        u=fix(u_bf), x=fix(x_bf), z=fix(to_bf(z)), s=fix(to_bf(s)),
+        converged=scal(conv) & lane_ok, iters=scal(it_conv),
+        gap=jnp.nan_to_num(scal(mu), nan=jnp.inf),
+        res_norm=jnp.nan_to_num(scal(res), nan=jnp.inf))

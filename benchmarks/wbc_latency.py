@@ -1,0 +1,86 @@
+"""Secondary benchmark: whole-body tracking QP latency vs the 400 Hz budget.
+
+The reference solves one 30-var QP (qpSWIFT) every 2.5 ms on a desktop CPU
+(reference main.cpp:1107 `ros::Rate r(400)`, QP_SETUP_dense at :1649).
+Here the same formulation (wbc.solve) runs BATCHED: one fused solve for B
+scenarios.  Two numbers matter:
+
+  * p99 wall-clock of one batched solve — must fit the 2.5 ms real-time
+    budget (BASELINE.md north-star table);
+  * effective WBC solves/s = B / mean latency.
+
+Prints one JSON line per batch size.  (The repo-root bench.py remains the
+headline planner-throughput benchmark.)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from apf_quadruped_tpu import wbc
+    from apf_quadruped_tpu.config import EngineConfig, SolverConfig
+    from apf_quadruped_tpu.models import rbd
+    from apf_quadruped_tpu.sim import physics
+
+    cfg = EngineConfig(solver=SolverConfig(iters=10))
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+
+    for B in (1, 128, 1024):
+        st0 = physics.initial_state(cfg, (0.0, 0.0), 0.0, dtype)
+        jitter = rng.normal(size=(B, 12)) * 0.02
+        q = jnp.asarray(np.asarray(st0.q)[None] + jitter, dtype)
+        sts = wbc.WbcState(
+            p_base=jnp.broadcast_to(st0.p_base, (B, 3)).astype(dtype),
+            R_wb=jnp.broadcast_to(st0.R_wb, (B, 3, 3)).astype(dtype),
+            q=q,
+            u=jnp.asarray(rng.normal(size=(B, 18)) * 0.01, dtype),
+            contact=jnp.ones((B, 4), dtype))
+        com = jax.vmap(lambda p, R, qq: rbd.com_position(cfg.robot, p, R, qq)
+                       )(sts.p_base, sts.R_wb, sts.q)
+        z3 = jnp.zeros((B, 3), dtype)
+        refs = wbc.WbcRefs(
+            com_pos=com, com_vel=z3, com_acc=z3,
+            rpy=z3, omega=z3, omega_dot=z3,
+            swing_pos=jnp.zeros((B, 4, 3), dtype),
+            swing_vel=jnp.zeros((B, 4, 3), dtype),
+            swing_acc=jnp.zeros((B, 4, 3), dtype))
+
+        f = jax.jit(jax.vmap(lambda s, r: wbc.solve(cfg, s, r)))
+        out = jax.block_until_ready(f(sts, refs))
+        conv = float(np.mean(np.asarray(out.sol.converged)))
+
+        times = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(sts, refs))
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        mean_ms = float(times.mean() * 1e3)
+        p99_ms = float(np.percentile(times, 99) * 1e3)
+        print(json.dumps({
+            "metric": f"wbc_batched_solve_latency_B{B}",
+            "value": p99_ms, "unit": "ms_p99",
+            "mean_ms": round(mean_ms, 4),
+            "solves_per_s": round(B / (times.mean()), 1),
+            "converged_frac": round(conv, 4),
+            "vs_baseline": round(2.5 / p99_ms, 3)}))
+
+
+if __name__ == "__main__":
+    main()
