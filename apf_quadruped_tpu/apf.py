@@ -146,13 +146,21 @@ class ApfOutput(NamedTuple):
 
 
 def navigate(cfg: ApfConfig, state: ApfState, feet_xy, com_xy,
-             target_xy) -> ApfOutput:
+             target_xy, robot=None) -> ApfOutput:
     """One replan-cycle APF evaluation (the navigation block of ctrl_loop,
     main.cpp:1171-1422).
 
     feet_xy: (.., 4, 2) current world foot xy, com_xy: (.., 2),
     target_xy: (.., 2) user goal.  state must already hold the EWMA'd
     rob_foot (call update_robustness first).
+
+    robot: optional RobotConfig.  When given, step targets are clamped to
+    the kinematic range-of-motion box nominal_stance +- max_dev around the
+    saturated CoM goal — the towr RangeOfMotionConstraint's role
+    (reference src/towr/range_of_motion_constraint.cc:60-84, max_dev
+    (0.1, 0.15, 0.06) at include/towr/models/examples/dogbot_model.h:80).
+    Without it an aggressive target or large repulsive field can command
+    footholds the 3-DoF legs cannot reach.
     """
     rob = state.rob_foot
     rob_mean = jnp.mean(rob, axis=-1)
@@ -178,6 +186,13 @@ def navigate(cfg: ApfConfig, state: ApfState, feet_xy, com_xy,
     com_raw = jnp.mean(step_targets, axis=-2)           # main.cpp:1409
     d = com_raw - com_xy
     com_des = com_xy + jnp.clip(d, -cfg.step_sat, cfg.step_sat)
+
+    if robot is not None:
+        off = jnp.asarray(LEG_SIGNS, feet_xy.dtype) * jnp.asarray(
+            [robot.stance_x, robot.stance_y], feet_xy.dtype)
+        nominal = com_des[..., None, :] + off            # (.., 4, 2)
+        dev = jnp.asarray(robot.max_dev[:2], feet_xy.dtype)
+        step_targets = jnp.clip(step_targets, nominal - dev, nominal + dev)
 
     return ApfOutput(f_att=f_att, f_rep=f_rep, step_targets=step_targets,
                      com_des=com_des, fake_crawl=fake_crawl,

@@ -76,7 +76,9 @@ class GaitConfig:
     # closed-loop gait mode: "trot" alternates pair order per cycle
     # (reference combos C1/C5); "crawl" walks one leg at a time per 1 s
     # cycle (combos C7-C10 — present but never enabled in the reference,
-    # main.cpp:489)
+    # main.cpp:489); "adaptive" switches trot <-> crawl in-loop from the
+    # robustness EWMA (completing the reference's abandoned crawl path —
+    # set MpcConfig.horizon=40 to cover the shared 1 s cycle)
     mode: str = "trot"
     control_dt: float = 0.0025                 # 400 Hz tracking (main.cpp:1107)
     plan_dt: float = 0.025                     # MPC discretization (10 knots / 0.25 s phase)
@@ -110,6 +112,14 @@ class ApfConfig:
     ewma_new: float = 0.65
     comb_deadband: float = 0.07    # compute_fr (main.cpp:2745-2754)
     crawl_threshold: float = 0.34  # mean robustness -> fake_crawl (main.cpp:1320)
+    # hysteresis band for the ADAPTIVE gait switch (our extension — the
+    # reference's crawl path is abandoned upstream, main.cpp:489, so it
+    # provides no tuning).  The measured index is gait-dependent: crawl on
+    # good ground saturates near 0.30, below the 0.34 gain threshold, so
+    # the switch needs its own band: enter crawl when rob < enter, return
+    # to trot when rob > exit (enter < exit < crawl ceiling).
+    crawl_enter_threshold: float = 0.20
+    crawl_exit_threshold: float = 0.28
     rob_floor: float = 0.01        # 1/h > 0.01 gate on the margin integral (main.cpp:1539)
     min_exit: bool = False         # #define MIN_EXIT 0 (main.cpp:63)
     rep_field_in_step: bool = False  # #define REP_FIELD 0 (main.cpp:62)
@@ -130,6 +140,19 @@ class WbcConfig:
     slack_weight_crawl: float = 1e4  # main.cpp:2976
     mu: float = 0.5                # friction coefficient (main.cpp:1511)
     joint_dt: float = 0.025        # joint-limit lookahead (main.cpp:1638)
+    # Build the QP with the reference's EXACT formulation quirks (used by
+    # the parity tests; off by default because both quirks are physically
+    # wrong-or-arbitrary choices the reference makes, not features):
+    #  (a) the ||x||^2 regularizer is taken over CoM-FRAME accelerations
+    #      [udot_com(6); qdd(12)] (eigenR identity over the reference's
+    #      decision vector, main.cpp:1478-1483) instead of our
+    #      mixed-coordinate udot — the tie-break direction differs;
+    #  (b) the trot-swing QP's known term is ZERO (eigenb = 0,
+    #      main.cpp:1849-1853): gravity/bias and Jdot*qd are dropped from
+    #      the equalities whenever two legs swing outside crawl.
+    # Verified: with ref_exact=True our solution matches the reference's
+    # QP bit-for-bit at rest states (tests/test_reference_parity_dyn.py).
+    ref_exact: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,7 +189,10 @@ class MpcConfig:
 
     horizon: int = 20
     dt: float = 0.025              # knot spacing: horizon*dt = 0.5 s trot cycle
-    backend: str = "riccati"       # "riccati" (banded LQR IPM) | "condensed"
+    # "auto" resolves to "riccati_fused" (batch-on-lanes Pallas kernels)
+    # on TPU and "riccati" (lax.scan banded LQR IPM) elsewhere;
+    # "condensed" (dense QP in stacked forces) kept for cross-validation
+    backend: str = "auto"
     w_pos: float = 400.0
     w_att: float = 150.0
     w_vel: float = 10.0

@@ -143,6 +143,11 @@ GAIT_FLAG_COMBOS: Dict[int, Tuple[str, ...]] = {
     # monoped combos (monoped_gait_generator.cc:38-46)
     13: ("mono_stand", "mono_hop"),                        # monoped C0-C2
     14: ("mono_stand", "mono_hop_long"),                   # monoped C3/C4
+    # full trot cycle: pair A then pair B in ONE table entry — phase-for-
+    # phase identical to two consecutive 0.5 s C1/C5 replans when scaled
+    # to 1.0 s.  Used by the adaptive gait mode so trot and crawl share a
+    # cycle length and the robustness switch is pure data (a flag select).
+    15: ("stand", "trot", "stand", "trot2"),
 }
 
 MAX_PHASES = 16

@@ -51,6 +51,11 @@ from .riccati import StageQP, StageSolution
 
 LANES = 128
 
+# v5e has 128 MiB of VMEM; the default 16 MiB scoped limit trips at
+# batch >= 256 once double-buffered blocks are counted.  96 MiB leaves
+# headroom for XLA's own scratch while admitting B=1024 grids.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _chol_rows(M, n):
     """Unrolled Cholesky of an (n, n, LANES) value.
@@ -105,7 +110,7 @@ def _subst_packed(Lv, Dv, rhs, n):
 # ---------------------------------------------------------------------------
 
 def _rollout_kernel(H, nx, nu, m):
-    def kernel(g_ref, rdiag_ref, qdiag_ref, a_ref, b_ref, qlin_ref, u_ref,
+    def kernel(g_ref, rmat_ref, qmat_ref, a_ref, b_ref, qlin_ref, u_ref,
                zm_ref, x0_ref, x_ref, rx_ref, gu_ref):
         # forward rollout
         def fwd(k, x):
@@ -115,16 +120,23 @@ def _rollout_kernel(H, nx, nu, m):
             return xn
         jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
 
-        # backward costates + rx; gu on the MXU
+        # backward costates + rx; gu on the MXU.  Q and R are applied as
+        # FULL matrices ((nx,nx)/(nu,nu) constants broadcast over lanes) —
+        # nx=13 row-sums per knot are cheap, and this keeps the fused path
+        # exact for any SPD cost the StageQP interface allows.
         def bwd(kk, lam):
             k = H - 1 - kk
-            lam_k = qdiag_ref[:] * x_ref[k] + qlin_ref[k] + lam
+            qx = jnp.sum(qmat_ref[:][:, :, None] * x_ref[k][None, :, :],
+                         axis=1)
+            lam_k = qx + qlin_ref[k] + lam
             # B' lam: (nx, nu, L) * (nx, 1, L) summed over nx
             bt_lam = jnp.sum(b_ref[k] * lam_k[:, None, :], axis=0)
             gt_zm = jax.lax.dot_general(
                 g_ref[:], zm_ref[k], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(bt_lam.dtype)
-            rx_ref[k] = rdiag_ref[:] * u_ref[k] + bt_lam + gt_zm
+            ru = jnp.sum(rmat_ref[:][:, :, None] * u_ref[k][None, :, :],
+                         axis=1)
+            rx_ref[k] = ru + bt_lam + gt_zm
             gu_ref[k] = jax.lax.dot_general(
                 g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(bt_lam.dtype)
@@ -139,7 +151,7 @@ def _rollout_kernel(H, nx, nu, m):
 # kernel A: Riccati backward matrix pass (factorization)
 # ---------------------------------------------------------------------------
 
-def _factor_kernel(H, nx, nu, m, reg):
+def _factor_kernel(H, nx, nu, m):
     def kernel(gg_ref, rmat_ref, qmat_ref, a_ref, b_ref, w_ref,
                l_ref, d_ref, k_ref, pbar_ref):
         dt = a_ref.dtype
@@ -242,7 +254,7 @@ def _cspec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _rollout_call(G, rdiag, qdiag, A, B, qlin, u, zm, x0, interpret):
+def _rollout_call(G, rmat, qmat, A, B, qlin, u, zm, x0, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
@@ -251,7 +263,7 @@ def _rollout_call(G, rdiag, qdiag, A, B, qlin, u, zm, x0, interpret):
     return pl.pallas_call(
         _rollout_kernel(H, nx, nu, m),
         grid=grid,
-        in_specs=[_cspec(G.shape), _cspec(rdiag.shape), _cspec(qdiag.shape),
+        in_specs=[_cspec(G.shape), _cspec(rmat.shape), _cspec(qmat.shape),
                   _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
                   _vspec((H, nx, LANES)), _vspec((H, nu, LANES)),
                   _vspec((H, m, LANES)), _vspec((nx, LANES))],
@@ -261,17 +273,18 @@ def _rollout_call(G, rdiag, qdiag, A, B, qlin, u, zm, x0, interpret):
                    jax.ShapeDtypeStruct((H, nu, Bp), dt),
                    jax.ShapeDtypeStruct((H, m, Bp), dt)],
         interpret=interpret,
-    )(G, rdiag, qdiag, A, B, qlin, u, zm, x0)
+        compiler_params=_COMPILER_PARAMS,
+    )(G, rmat, qmat, A, B, qlin, u, zm, x0)
 
 
-def _factor_call(GG, rmat, qmat, A, B, W, reg, interpret):
+def _factor_call(GG, rmat, qmat, A, B, W, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = W.shape[1]
     dt = A.dtype
     grid = (Bp // LANES,)
     return pl.pallas_call(
-        _factor_kernel(H, nx, nu, m, reg),
+        _factor_kernel(H, nx, nu, m),
         grid=grid,
         in_specs=[_cspec(GG.shape), _cspec(rmat.shape), _cspec(qmat.shape),
                   _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
@@ -283,6 +296,7 @@ def _factor_call(GG, rmat, qmat, A, B, W, reg, interpret):
                    jax.ShapeDtypeStruct((H, nu, nx, Bp), dt)],
         scratch_shapes=[pltpu.VMEM((nx, nx, LANES), dt)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(GG, rmat, qmat, A, B, W)
 
 
@@ -305,6 +319,7 @@ def _vector_call(G, A, B, L, D, K, rx, vm, interpret):
                    jax.ShapeDtypeStruct((H, m, Bp), dt)],
         scratch_shapes=[pltpu.VMEM((nx, LANES), dt)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(G, A, B, L, D, K, rx, vm)
 
 
@@ -335,7 +350,7 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
     Bp = ((B + LANES - 1) // LANES) * LANES
 
     # ---- batch-last layouts (H, rows, cols, B) --------------------------
-    def to_bl(x, nd_item):
+    def to_bl(x):
         """(.., H, *item) -> (H, *item, Bp) with zero padding."""
         x = x.reshape((B,) + x.shape[len(batch):])
         x = jnp.moveaxis(x, 0, -1)
@@ -344,25 +359,23 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
             x = jnp.pad(x, pad)
         return x
 
-    A_l = to_bl(qp.A, 3)                        # (H, nx, nx, Bp)
-    B_l = to_bl(qp.B, 3)                        # (H, nx, nu, Bp)
-    q_l = to_bl(qp.qlin, 2)                     # (H, nx, Bp)
-    mask = to_bl(qp.mask, 2)                    # (H, m, Bp)
-    h_l = to_bl(jnp.broadcast_to(qp.h, batch + (Hh, m)), 2)
+    A_l = to_bl(qp.A)                           # (H, nx, nx, Bp)
+    B_l = to_bl(qp.B)                           # (H, nx, nu, Bp)
+    q_l = to_bl(qp.qlin)                        # (H, nx, Bp)
+    mask = to_bl(qp.mask)                       # (H, m, Bp)
+    h_l = to_bl(jnp.broadcast_to(qp.h, batch + (Hh, m)))
     h_l = jnp.where(mask > 0, h_l, jnp.ones_like(h_l))
-    x0_l = to_bl(qp.x0[..., None, :], 1)[0]     # (nx, Bp)
+    x0_l = to_bl(qp.x0[..., None, :])[0]        # (nx, Bp)
 
-    # static small matrices
+    # static small matrices (full Q/R — both kernels are exact for any
+    # SPD cost; reg is folded into the factor-pass R only, matching
+    # ops.riccati where stationarity residuals use the UNregularized R)
     G = qp.G.astype(dt)                         # (m, nu)
     GG = jnp.einsum("mi,mj->ijm", G, G).reshape(nu * nu, m)
     reg = jnp.asarray(cfg.static_reg, dt)
     rmat = qp.R.astype(dt) + reg * jnp.eye(nu, dtype=dt)
+    rmat_res = qp.R.astype(dt)
     qmat = qp.Q.astype(dt)
-    qdiag_full = jnp.diagonal(qmat)[:, None]    # (nx, 1) — Q is diagonal
-    rdiag_full = jnp.diagonal(qp.R.astype(dt))[:, None]
-    # the rollout kernel uses diagonal Q/R (true for the MPC costs); guard:
-    # off-diagonal entries are folded via full-matrix fallback if present
-    # (planner only ever builds diagonal costs, planner.py::_mpc_costs).
 
     m_eff = jnp.maximum(jnp.sum(mask, axis=(0, 1)), 1.0)       # (Bp,)
     min_slack = jnp.asarray(cfg.min_slack, dt)
@@ -390,7 +403,7 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
 
     def residuals(u, z):
         zm = mask * z
-        x, rx, gu = _rollout_call(G, rdiag_full, qdiag_full, A_l, B_l, q_l,
+        x, rx, gu = _rollout_call(G, rmat_res, qmat, A_l, B_l, q_l,
                                   u, zm, x0_l, interpret)
         return x, rx, gu
 
@@ -410,8 +423,7 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
         s_safe = jnp.maximum(s, min_slack)
         W = jnp.clip(z_safe / s_safe, 0.0, w_hi)
         Wm = mask * W
-        L, D, K = _factor_call(GG, rmat, qmat, A_l, B_l, Wm,
-                               cfg.static_reg, interpret)
+        L, D, K = _factor_call(GG, rmat, qmat, A_l, B_l, Wm, interpret)
 
         def newton(rc):
             vm = mask * (W * rz + rc / s_safe)

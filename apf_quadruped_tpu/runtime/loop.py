@@ -12,10 +12,18 @@ One REPLAN CYCLE (reference: one trot half-cycle pair, 0.5 s):
 
 The reference alternates gait combos C1/C5 (trot pair A then pair B,
 topt.cpp:49-62); here the cycle index's parity selects gait flag 1/2.
-Full-crawl replanning exists in the planner (gait flags 4-7) but the
-closed loop runs trot + fake-crawl gain reduction — which is what the
-reference actually executes (its `crawl` flag is hardcoded false,
-main.cpp:489).
+Gait modes (GaitConfig.mode):
+  * "trot"  — what the reference actually executes: trot + fake-crawl
+    gain reduction (its `crawl` flag is hardcoded false, main.cpp:489)
+  * "crawl" — static full-crawl (reference combos C7-C10, present
+    upstream but never enabled)
+  * "adaptive" — data-driven in-loop gait switching: the robustness
+    EWMA below the 0.34 threshold (main.cpp:1320) swaps the gait flag
+    to the crawl combo INSIDE the scanned loop (a jnp.where — data,
+    not shapes), completing the reference's abandoned crawl path.
+    Trot and crawl share a 1.0 s cycle (gait flag 15 = pair A + pair B
+    is phase-identical to two 0.5 s C1/C5 replans); set
+    MpcConfig.horizon=40 to cover the full cycle.
 
 Everything is single-scenario; `vmap` over a scenario axis and `shard_map`
 over a device mesh happen in runtime.sweep.
@@ -40,6 +48,9 @@ class LoopState(NamedTuple):
     sim: physics.SimState
     apf: apf.ApfState
     cycle_idx: jnp.ndarray    # () int32
+    # () bool — adaptive-mode gait memory (crawl engaged); hysteresis on
+    # the robustness index needs last cycle's decision
+    crawling: jnp.ndarray
 
 
 class CycleMetrics(NamedTuple):
@@ -52,6 +63,7 @@ class CycleMetrics(NamedTuple):
     fake_crawl: jnp.ndarray   # () bool
     qp_converged: jnp.ndarray  # () fraction of converged WBC solves
     mpc_converged: jnp.ndarray  # () bool
+    crawling: jnp.ndarray     # () bool — crawl combo engaged this cycle
     slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
     tau_max: jnp.ndarray      # () peak |tau| over the cycle
     track_err: jnp.ndarray    # () mean CoM tracking error during cycle
@@ -69,23 +81,40 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
     """One replan cycle: navigate, plan, track."""
     dtype = st.sim.q.dtype
     robot = cfg.robot
-    if cfg.gait.mode == "crawl":
-        cycle_s = cfg.gait.crawl_cycle
-        # walk1_4 (reference combo C9, gait_type 4): all four legs swing
-        # once per cycle, one at a time
-        gait_flag = jnp.asarray(4, jnp.int32)
-    else:
-        cycle_s = cfg.gait.trot_cycle
-        gait_flag = _phase_gait_flag(st.cycle_idx)
-    cycle = jnp.asarray(cycle_s, dtype)
-    n_ticks = int(round(cycle_s / cfg.sim.dt))
 
     # ---- 1. navigation -------------------------------------------------
     ast = apf.update_robustness(cfg.apf, st.apf)
     feet_w = rbd.foot_positions_world(robot, st.sim.p_base, st.sim.R_wb,
                                       st.sim.q)
     com_w = rbd.com_position(robot, st.sim.p_base, st.sim.R_wb, st.sim.q)
-    nav = apf.navigate(cfg.apf, ast, feet_w[:, 0:2], com_w[0:2], target_xy)
+    nav = apf.navigate(cfg.apf, ast, feet_w[:, 0:2], com_w[0:2], target_xy,
+                       robot=robot)
+
+    if cfg.gait.mode == "crawl":
+        cycle_s = cfg.gait.crawl_cycle
+        # walk1_4 (reference combo C9, gait_type 4): all four legs swing
+        # once per cycle, one at a time
+        gait_flag = jnp.asarray(4, jnp.int32)
+        crawling = jnp.asarray(True)
+    elif cfg.gait.mode == "adaptive":
+        # data-driven switch with hysteresis: enter the crawl combo when
+        # the robustness EWMA drops below crawl_enter_threshold, return
+        # to the full trot cycle once it recovers past
+        # crawl_exit_threshold (the measured index is gait-dependent —
+        # see ApfConfig).  Both gaits share the 1.0 s cycle length, so
+        # the switch is pure data (a flag select) inside the jit.
+        cycle_s = cfg.gait.crawl_cycle
+        rob_mean = jnp.mean(ast.rob_foot, axis=-1)
+        crawling = jnp.where(st.crawling,
+                             rob_mean <= cfg.apf.crawl_exit_threshold,
+                             rob_mean < cfg.apf.crawl_enter_threshold)
+        gait_flag = jnp.where(crawling, 4, 15).astype(jnp.int32)
+    else:
+        cycle_s = cfg.gait.trot_cycle
+        gait_flag = _phase_gait_flag(st.cycle_idx)
+        crawling = jnp.asarray(False)
+    cycle = jnp.asarray(cycle_s, dtype)
+    n_ticks = int(round(cycle_s / cfg.sim.dt))
 
     # foothold/CoM heights follow the terrain height field (the towr
     # TerrainConstraint role: feet land ON the terrain surface;
@@ -119,6 +148,12 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
 
     # ---- 3. 400 Hz tracking -------------------------------------------
     liftoff_feet = feet_w                     # positions at cycle start
+    # knot-time state sequence including t=0 (plan.states[k] is the state
+    # AFTER step k+1, i.e. at time (k+1) dt) for first-order-hold refs —
+    # the reference samples smooth splines every tick (main.cpp:1485-1489);
+    # zero-order hold at 25 ms knots injects step discontinuities into the
+    # 2.5 ms tracking loop
+    states_knots = jnp.concatenate([x0[None], plan.states], axis=0)
 
     def tick(carry, k):
         sim_st, ast = carry
@@ -132,11 +167,13 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
         sw_pos, sw_vel, sw_acc = swing.swing_ref(
             liftoff_feet, step_targets3, cfg.mpc.swing_height, tau_ph, dur)
 
-        # MPC knot sample for CoM refs
-        kidx = jnp.clip((t / cfg.mpc.dt).astype(jnp.int32), 0,
-                        cfg.mpc.horizon - 1)
-        xk = plan.states[kidx]
-        fk = plan.forces[kidx]
+        # MPC refs: first-order hold between knots for the state, zero-
+        # order hold for forces (u_k is constant over its interval)
+        tk = t / cfg.mpc.dt
+        k0 = jnp.clip(tk.astype(jnp.int32), 0, cfg.mpc.horizon - 1)
+        wk = jnp.clip(tk - k0.astype(dtype), 0.0, 1.0)
+        xk = (1.0 - wk) * states_knots[k0] + wk * states_knots[k0 + 1]
+        fk = plan.forces[k0]
         com_acc = jnp.sum(fk, axis=0) / robot.mass + jnp.asarray(
             [0.0, 0.0, -srb.GRAVITY], dtype)
 
@@ -146,7 +183,8 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
             omega_dot=jnp.zeros(3, dtype),
             swing_pos=sw_pos, swing_vel=sw_vel, swing_acc=sw_acc)
         wst = wbc.WbcState(p_base=sim_st.p_base, R_wb=sim_st.R_wb,
-                           q=sim_st.q, u=sim_st.u, contact=contact)
+                           q=sim_st.q, u=sim_st.u, contact=contact,
+                           crawl=crawling)
         out = wbc.solve(cfg, wst, ref)
 
         fd = disturbance.eval_at(dist_sched, sim_st.t)
@@ -174,10 +212,12 @@ def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
         fake_crawl=nav.fake_crawl,
         qp_converged=jnp.mean(conv.astype(dtype)),
         mpc_converged=plan.sol.converged,
+        crawling=crawling,
         slip_ticks=jnp.mean(slip.astype(dtype)),
         tau_max=jnp.max(taumax),
         track_err=jnp.mean(terr_track))
-    return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1), metrics
+    return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,
+                     crawling=crawling), metrics
 
 
 def _rpy(R):
@@ -201,4 +241,5 @@ def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
          dtype=jnp.float32) -> LoopState:
     return LoopState(sim=physics.initial_state(cfg, xy, yaw, dtype),
                      apf=apf.init_state((), dtype),
-                     cycle_idx=jnp.asarray(0, jnp.int32))
+                     cycle_idx=jnp.asarray(0, jnp.int32),
+                     crawling=jnp.asarray(cfg.gait.mode == "crawl"))

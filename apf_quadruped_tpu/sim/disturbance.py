@@ -7,9 +7,10 @@ Here a disturbance is DATA: a (n_events, 7) array of
 [t_start, t_end, fx, fy, fz, omega, phase] rows, evaluated branch-free at
 sim time t and summed — batched over scenarios like everything else.
 Rows with omega == 0 are constant pushes over [t_start, t_end) (the
-impulse / random-push case studies); rows with omega > 0 modulate the
-force by sin(omega*t + phase) (the sinusoidal case-study block,
-force_plugin.cpp:132-139: x_dist = 20*sin(t)).
+impulse / random-push case studies); rows with omega != 0 modulate the
+force by sin(omega*t + phase) — negative omega is a valid phase-reversed
+sinusoid (the sinusoidal case-study block, force_plugin.cpp:132-139:
+x_dist = 20*sin(t)).
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ def eval_at(schedule: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     active = ((t[..., None] >= schedule[..., 0])
               & (t[..., None] < schedule[..., 1]))
     omega = schedule[..., 5]
-    mod = jnp.where(omega > 0,
+    mod = jnp.where(omega != 0,
                     jnp.sin(omega * t[..., None] + schedule[..., 6]),
                     jnp.ones_like(omega))
     return jnp.sum(schedule[..., 2:5] * (active * mod)[..., None], axis=-2)

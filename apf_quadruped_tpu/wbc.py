@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from .config import EngineConfig
 from .models import rbd
@@ -58,6 +59,12 @@ class WbcState(NamedTuple):
     q: jnp.ndarray           # (12,) joint angles (leg-major)
     u: jnp.ndarray           # (18,) mixed generalized velocity
     contact: jnp.ndarray     # (4,) stance mask (1 = stance)
+    # () crawl-phase flag: selects the crawl swing-tracking weight
+    # (reference 1e4, main.cpp:2976) instead of the trot weight
+    # (reference 1e8, main.cpp:1751) — data, not shape, so the in-loop
+    # gait switch stays branch-free.  (numpy scalar default so tree ops
+    # like stacking/vmapping WbcState pytrees see an array leaf)
+    crawl: jnp.ndarray = _np.bool_(False)
 
 
 class WbcRefs(NamedTuple):
@@ -82,7 +89,11 @@ class WbcOutput(NamedTuple):
     sol: QPSolution
 
 
-def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
+def _build_qp(cfg: EngineConfig, st: WbcState,
+              ref: WbcRefs) -> tuple[QPData, tuple]:
+    """Build the QP; also returns (M, h, Jc) so solve() maps torques
+    without re-evaluating the dynamics (one rbd evaluation per tick —
+    this is the 400 Hz hot path)."""
     w = cfg.wbc
     dtype = st.q.dtype
     c4 = st.contact
@@ -122,7 +133,35 @@ def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
     Wdes = (w.k_com * dx + w.d_com * dv + rbd.TOTAL_MASS * g6
             + M_c @ a_des)                                # main.cpp:1572
 
-    P = w.q1 * (Ts.T @ Ts) + jnp.eye(NX, dtype=dtype)
+    if w.ref_exact:
+        # Reference-exact ||x||^2 regularizer: the reference's decision
+        # vector holds CoM-FRAME accelerations [udot_com(6); qdd(12)]
+        # (main.cpp:1478-1483), so its identity regularizer tie-breaks in
+        # a different direction than ours over mixed-coordinate udot.
+        # udot_com = (T nudot)[0:6] with the centroidal transform
+        # T = [[I, S(x_bc)', Js],[0, I, Js_ang],[0,0,I]] and
+        # Js = X Mb^{-1} Mbj (computeTransformation, main.cpp:643-687);
+        # the velocity-dependent Tdot nu offset is an affine tie-break
+        # term of the unit-weight regularizer, negligible vs the
+        # q1/slack-weighted costs, and exactly zero at rest.
+        xbc = com - st.p_base
+        X6 = jnp.block([[jnp.eye(3, dtype=dtype), skew(xbc).T],
+                        [jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)]])
+        Js6 = X6 @ jnp.linalg.solve(M[0:6, 0:6], M[0:6, 6:18])
+        Cmap = jnp.zeros((6, 18), dtype)
+        Cmap = Cmap.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+        Cmap = Cmap.at[0:3, 3:6].set(skew(xbc).T)
+        Cmap = Cmap.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype))
+        Cmap = Cmap.at[:, 6:18].set(Js6)
+        reg = jnp.zeros((NX, NX), dtype)
+        reg = reg.at[0:18, 0:18].set(
+            Cmap.T @ Cmap
+            + jnp.diag(jnp.concatenate([jnp.zeros(6, dtype),
+                                        jnp.ones(12, dtype)])))
+        reg = reg.at[18:30, 18:30].set(jnp.eye(12, dtype=dtype))
+    else:
+        reg = jnp.eye(NX, dtype=dtype)
+    P = w.q1 * (Ts.T @ Ts) + reg
     qv = -w.q1 * (Ts.T @ Wdes)
 
     # swing-foot tracking as soft cost (replaces the 1e8 slack variables):
@@ -134,7 +173,7 @@ def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
     sw_mask = (1.0 - c4)[:, None].repeat(3, 1).reshape(12)
     A_sw = jnp.concatenate([Jc, jnp.zeros((12, 12), dtype)], axis=1)
     b_sw = a_sw_des.reshape(12) - jdu
-    wsw = w.slack_weight_trot
+    wsw = jnp.where(st.crawl, w.slack_weight_crawl, w.slack_weight_trot)
     P = P + wsw * (A_sw.T @ (sw_mask[:, None] * A_sw))
     qv = qv - wsw * (A_sw.T @ (sw_mask * b_sw))
 
@@ -148,6 +187,15 @@ def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
     # 12 stance no-slip rows
     A = A.at[6:18, 0:18].set(Jc)
     b = b.at[6:18].set(-jdu)
+    if w.ref_exact:
+        # Reference-exact trot-swing quirk: the swing QP's known term is
+        # ZERO (eigenb = 0, main.cpp:1849-1853) — gravity/bias and Jdot qd
+        # are silently dropped from the equalities whenever legs swing
+        # outside crawl (the full-stance and crawl QPs keep them,
+        # main.cpp:1586-1587, 3037-3040).  Data, not shape: a scalar gate.
+        trot_swing = jnp.logical_and(jnp.min(c4) < 0.5,
+                                     jnp.logical_not(st.crawl))
+        b = jnp.where(trot_swing, jnp.zeros_like(b), b)
     # 12 swing force-zero rows
     A = A.at[18:30, 18:30].set(jnp.eye(12, dtype=dtype))
     st_mask = c4[:, None].repeat(3, 1).reshape(12)
@@ -189,21 +237,38 @@ def _build_qp(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> QPData:
     hvec = hvec.at[56:68].set(-ddqmin)
     ineq_mask = jnp.concatenate([pyr_mask, jnp.ones(48, dtype)])
 
-    return QPData(P=P, q=qv, A=A, b=b, G=G, h=hvec,
-                  eq_mask=eq_mask, ineq_mask=ineq_mask)
+    return (QPData(P=P, q=qv, A=A, b=b, G=G, h=hvec,
+                   eq_mask=eq_mask, ineq_mask=ineq_mask), (M, h, Jc, com))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def solve(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> WbcOutput:
     """One WBC tick (single sample — vmap for batches; everything inside
     is shape-static)."""
-    qp = _build_qp(cfg, st, ref)
+    qp, (M, h, Jc, com) = _build_qp(cfg, st, ref)
     sol = solve_qp(qp, cfg.solver)
     udot = sol.x[0:18]
     f = sol.x[18:30]
-    M = rbd.mass_matrix(cfg.robot, st.R_wb, st.q)
-    h = rbd.bias_forces(cfg.robot, st.p_base, st.R_wb, st.q, st.u)
-    Jc = rbd.contact_jacobian_mixed(cfg.robot, st.p_base, st.R_wb, st.q)
-    tau = (M @ udot + h - Jc.T @ f)[6:18]                 # main.cpp:1667
+    r = M @ udot + h - Jc.T @ f
+    tau = r[6:18]                                         # main.cpp:1667
+    if cfg.wbc.ref_exact:
+        # The reference maps torques in CoM coordinates
+        # (tau = M_COM(6:,6:) qdd + BiasCOM(6:) - Jstcom(:,6:)' f,
+        # main.cpp:2023): tau_com = (Tinv' r)[6:18] = r[6:18]
+        # + Tinv[0:6,6:18]' r[0:6].  With the full-bias equalities the
+        # base residual r[0:6] is zero and the maps coincide; under the
+        # trot-swing b=0 quirk r[0:6] = h[0:6] and they differ by the
+        # centroidal coupling pullback below (exact at rest states —
+        # Tdot terms excluded).
+        from .ops.rotations import skew as _skew
+        xbc = com - st.p_base
+        xh = _skew(xbc)
+        X6 = jnp.block([[jnp.eye(3, dtype=r.dtype), xh.T],
+                        [jnp.zeros((3, 3), r.dtype),
+                         jnp.eye(3, dtype=r.dtype)]])
+        Js6 = X6 @ jnp.linalg.solve(M[0:6, 0:6], M[0:6, 6:18])
+        Tinv_bj = jnp.concatenate([xh.T @ Js6[3:6] - Js6[0:3],
+                                   -Js6[3:6]], axis=0)    # (6, 12)
+        tau = tau + Tinv_bj.T @ r[0:6]
     tau = jnp.clip(tau, -cfg.robot.tau_max, cfg.robot.tau_max)
     return WbcOutput(tau=tau, udot=udot, forces=f.reshape(4, 3), sol=sol)

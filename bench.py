@@ -4,10 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 10_000 — the BASELINE.json north-star rate
 (>= 10k batched MPC solves/s on one v5e host at horizon 20).
 
-Each "solve" is a full planner.plan: per-knot SRB linearization,
-condensing, and the batched interior-point solve with friction-pyramid
-constraints (the role IPOPT+TOWR fills in the reference with a 20 s
-budget and the sim paused, topt.cpp:97 / main.cpp:1250).
+Each "solve" is a full planner.plan: per-knot SRB linearization and the
+batched Riccati interior-point solve with friction-pyramid constraints
+(the role IPOPT+TOWR fills in the reference with a 20 s budget and the
+sim paused, topt.cpp:97 / main.cpp:1250), running the fused batch-on-lanes
+Pallas backend (ops/pallas_riccati.py).  Backend x batch exploration lives
+in benchmarks/backend_sweep.py; see PERF.md for the recorded sweep.
 """
 
 import json
@@ -43,10 +45,11 @@ def main():
         solver=SolverConfig(iters=12, reltol=1e-2, abstol=1e-2,
                             static_reg=1e-6, eq_reg=1e-6, w_clip=1e6))
     dtype = jnp.float32
-    # batch 128: well past the throughput knee; larger batches trip an
-    # XLA batched-small-matmul compile-time pathology on v5e (B=512
-    # compiles for minutes, B<=128 in seconds)
-    B = 128
+    # batch 2048 on the fused Pallas backend (the old scan backend hit an
+    # XLA batched-small-matmul pathology past B=128; the fused kernels
+    # sidestep it — throughput knee measured in PERF.md: 13.6k @128,
+    # 28.1k @256, 32.7k @512, 35.7k @1024, 37.3k @2048, 37.5k @4096)
+    B = 2048
     rng = np.random.default_rng(0)
 
     com0 = jnp.asarray(

@@ -136,3 +136,28 @@ def test_batched_shapes():
     out = apf.navigate(CFG, st, feet, jnp.zeros((B, 2)), jnp.ones((B, 2)))
     assert out.step_targets.shape == (B, 4, 2)
     assert out.fake_crawl.shape == (B,)
+
+
+def test_range_of_motion_clamp():
+    """With a RobotConfig, step targets are clamped to the kinematic box
+    nominal_stance +- max_dev around the CoM goal (towr
+    range_of_motion_constraint.cc:60-84, max_dev dogbot_model.h:80) —
+    an adversarial 5 m target must not command unreachable footholds."""
+    from apf_quadruped_tpu.config import RobotConfig
+    from apf_quadruped_tpu.models.dogbot import LEG_SIGNS
+
+    robot = RobotConfig()
+    st = apf.init_state()._replace(rob_foot=jnp.full((4,), 0.5))
+    feet = apf.foot_goals(jnp.zeros(2))
+    out = apf.navigate(CFG, st, feet, jnp.zeros(2), jnp.asarray([5.0, 5.0]),
+                       robot=robot)
+    off = np.asarray(LEG_SIGNS) * np.asarray([robot.stance_x, robot.stance_y])
+    nominal = np.asarray(out.com_des)[None, :] + off
+    dev = np.asarray(robot.max_dev[:2])
+    viol = np.abs(np.asarray(out.step_targets) - nominal) - dev
+    assert viol.max() <= 1e-6, f"foothold outside RoM box by {viol.max()}"
+    # and without the robot arg the same targets are NOT clamped
+    out_raw = apf.navigate(CFG, st, feet, jnp.zeros(2),
+                           jnp.asarray([5.0, 5.0]))
+    raw_viol = np.abs(np.asarray(out_raw.step_targets) - nominal) - dev
+    assert raw_viol.max() > 0.1

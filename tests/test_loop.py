@@ -75,3 +75,31 @@ def test_disturbance_rejection():
                       n_cycles=3)
     assert float(st2.sim.R_wb[2, 2]) > 0.95
     assert np.asarray(m.com)[-1, 1] > 0.05
+
+
+def test_adaptive_gait_switching():
+    """'adaptive' mode: the robustness EWMA drives the gait flag in-loop —
+    a state seeded with a slippery history (low margin integral) starts in
+    the crawl combo, and once the index rebuilds on good ground the loop
+    switches to the full-cycle trot, staying upright throughout."""
+    from apf_quadruped_tpu.config import GaitConfig, MpcConfig
+
+    cfg = CFG.replace(gait=GaitConfig(mode="adaptive"),
+                      mpc=MpcConfig(horizon=40))
+    st = loop.init(cfg, dtype=DT)
+    # as if the previous cycles measured near-zero friction margin
+    st = st._replace(apf=st.apf._replace(
+        h_int=jnp.zeros(4, DT), period_st=jnp.asarray(0.5, DT)))
+    terr = terrain.flat(cfg.sim, dtype=DT)
+    st2, m = loop.run(cfg, st, terr, jnp.asarray([0.0, 1.0], DT),
+                      disturbance.empty(DT), n_cycles=5)
+    m = jax.tree.map(np.asarray, m)
+    assert m.crawling[0], \
+        f"slippery history must engage the crawl combo (rob {m.rob_mean})"
+    assert not m.crawling[-1], f"never recovered to trot: {m.rob_mean}"
+    assert float(st2.sim.R_wb[2, 2]) > 0.95
+    # progress is deliberately slow here: rob < 0.34 keeps the reference's
+    # fake-crawl gain drop (0.01) active through the recovery — assert
+    # steady forward motion, not speed
+    assert m.com[-1, 1] > 0.01, f"no forward progress: {m.com[:, 1]}"
+    assert (np.diff(m.com[:, 1]) > -0.005).all()

@@ -146,3 +146,28 @@ def test_vmap_and_jit_compose(rng):
     direct = solve_qp(qp, CFG)
     vmapped = jax.jit(jax.vmap(lambda d: solve_qp(d, CFG)))(qp)
     np.testing.assert_allclose(vmapped.x, direct.x, atol=1e-6)
+
+
+def test_refine_steps_improves_f32_residual(rng):
+    """Iterative refinement (SolverConfig.refine_steps) must tighten the
+    stationarity residual on an ill-conditioned f32 QP (a 1e6-weighted
+    soft-constraint block like the WBC swing rows)."""
+    import jax.numpy as jnp
+
+    from apf_quadruped_tpu.config import SolverConfig
+
+    n, m = 12, 8
+    W = rng.normal(size=(n, n))
+    P = W @ W.T + np.eye(n)
+    Aw = rng.normal(size=(3, n))
+    P = P + 1e6 * Aw.T @ Aw          # stiff soft-constraint block
+    q = rng.normal(size=n) * 10.0
+    G = rng.normal(size=(m, n))
+    h = rng.uniform(0.5, 1.5, m)
+    qp = make_qp(jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32),
+                 jnp.asarray(G, jnp.float32), jnp.asarray(h, jnp.float32))
+    base = dict(iters=20, reltol=1e-6, abstol=1e-6, static_reg=1e-6,
+                w_clip=1e6)
+    r0 = float(solve_qp(qp, SolverConfig(refine_steps=0, **base)).res_norm)
+    r2 = float(solve_qp(qp, SolverConfig(refine_steps=2, **base)).res_norm)
+    assert r2 < r0 * 0.5, f"refinement did not help: {r0} -> {r2}"

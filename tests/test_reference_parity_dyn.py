@@ -1,0 +1,404 @@
+"""Control parity vs the reference formulation — dynamic state, trot-swing
+QP, and crawl QP (extending tests/test_reference_parity.py's static
+full-stance case; BASELINE: control error < 1e-3 over the same problem).
+
+Each test reconstructs the EXACT QP the reference builds — including its
+CoM-coordinate transform with the Tdot terms (computeTransformation,
+main.cpp:643-720; update, main.cpp:723-812) and its formulation quirks
+(the swing QP omits the CoM bias and Jdot qd from its equalities,
+main.cpp:1846-1853; slack variables in the lambda-slot with 1e8 / 1e4
+weights, main.cpp:1751 / 2976) — solves it with our IPM, and compares the
+physical outputs (stance forces, joint torques) against our
+mixed-coordinate wbc.solve at the same state and references.  The two QPs
+live in different coordinates with different decision variables, so
+agreement is agreement with the reference controller's math.
+
+wbc runs with WbcConfig.ref_exact=True, which reproduces the reference's
+two formulation quirks (the CoM-frame ||x||^2 regularizer and the trot-
+swing QP's zero known term — see WbcConfig docs).  Measured quirk sizes
+at these states (what the DEFAULT exact-dynamics formulation differs by):
+dropping bias/Jdot-qd from the swing equalities moves stance forces by
+1.96 N and torques by 0.91 Nm; the regularizer coordinates move the crawl
+forces by 0.36 N.  With ref_exact the crawl comparison is bit-exact and
+swing/stance agree well under the 1e-3*mg tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apf_quadruped_tpu import wbc
+from apf_quadruped_tpu.config import EngineConfig, SolverConfig, WbcConfig
+from apf_quadruped_tpu.models import rbd
+from apf_quadruped_tpu.models.dogbot import joint_limits, nominal_stance
+from apf_quadruped_tpu.models.kinematics import stance_ik
+from apf_quadruped_tpu.ops.qpsolve import QPData, solve_qp
+
+# abstol 1e-6: the 1e8/1e4 slack weights inflate the duality-gap scale,
+# which plateaus ~1e-7 while the residuals reach 1e-14
+SOLVER = SolverConfig(iters=40, reltol=1e-9, abstol=1e-6,
+                      static_reg=1e-10, eq_reg=1e-10, w_clip=1e10)
+MG = rbd.TOTAL_MASS * rbd.GRAVITY
+
+
+def skew(v):
+    return jnp.asarray([[0.0, -v[2], v[1]],
+                        [v[2], 0.0, -v[0]],
+                        [-v[1], v[0], 0.0]])
+
+
+def com_transform(robot, st):
+    """The reference's floating-base -> CoM coordinate transform, Tdot
+    included, built from our dynamics quantities (computeTransformation,
+    main.cpp:643-720; the CoM-frame products, main.cpp:795-810).
+
+    Returns dict with M_com (18,18), h_com (18,), Jcom_lin (12,18) linear
+    contact Jacobian in CoM coords, Jdqd_com_lin (12,), and dq_com (18,).
+    """
+    M = rbd.mass_matrix(robot, st.R_wb, st.q)
+    h = rbd.bias_forces(robot, st.p_base, st.R_wb, st.q, st.u)
+    Jc = rbd.contact_jacobian_mixed(robot, st.p_base, st.R_wb, st.q)
+    jdu = rbd.contact_bias_mixed(robot, st.p_base, st.R_wb, st.q,
+                                 st.u).reshape(12)
+    com = rbd.com_position(robot, st.p_base, st.R_wb, st.q)
+    Jcom = rbd.com_jacobian(robot, st.R_wb, st.q)
+    v_com = Jcom @ st.u
+
+    xbc = com - st.p_base                       # main.cpp:671
+    xbc_hat = skew(xbc)
+    X = jnp.block([[jnp.eye(3), xbc_hat.T],
+                   [jnp.zeros((3, 3)), jnp.eye(3)]])
+    Mb = M[0:6, 0:6]
+    Mbj = M[0:6, 6:18]
+    Mb_Mj = jnp.linalg.solve(Mb, Mbj)           # main.cpp:681
+    Js = X @ Mb_Mj                              # (6, 12)
+
+    T = jnp.block([
+        [jnp.eye(3), xbc_hat.T, Js[0:3]],
+        [jnp.zeros((3, 3)), jnp.eye(3), Js[3:6]],
+        [jnp.zeros((12, 6)), jnp.eye(12)]])     # main.cpp:685-687
+
+    # Tdot^{-1} (main.cpp:690-720)
+    xbc_dot = v_com - st.u[0:3]
+    mdr = rbd.TOTAL_MASS * xbc_dot
+    mdr_hat = skew(mdr)
+    xbc_hat_dot = skew(xbc_dot)
+    dX = jnp.block([[jnp.zeros((3, 3)), xbc_hat_dot.T],
+                    [jnp.zeros((3, 6))]])
+    dMb = jnp.block([[jnp.zeros((3, 3)), mdr_hat.T],
+                     [mdr_hat, jnp.zeros((3, 3))]])
+    inv_dMb1 = jnp.linalg.solve(Mb.T, dMb.T).T
+    inv_dMb2 = -jnp.linalg.solve(Mb, inv_dMb1)
+    dJs = dX @ Mb_Mj + X @ inv_dMb2 @ Mbj
+    T_inv_dot = jnp.zeros((18, 18))
+    T_inv_dot = T_inv_dot.at[0:3, 3:6].set(xbc_hat_dot)
+    T_inv_dot = T_inv_dot.at[0:3, 6:18].set(-dJs[0:3])
+
+    Tinv = jnp.linalg.inv(T)
+    dq_com = jnp.concatenate([v_com, st.u[3:6], st.u[6:18]])  # their `dq`
+
+    M_com = Tinv.T @ M @ Tinv                   # main.cpp:795
+    h_com = Tinv.T @ h + Tinv.T @ M @ T_inv_dot @ dq_com      # main.cpp:798
+    Jcom_lin = Jc @ Tinv                        # main.cpp:806 (12 lin rows)
+    jdqd_com = jdu + Jc @ T_inv_dot @ dq_com    # main.cpp:810
+
+    return dict(M_com=M_com, h_com=h_com, Jcom_lin=Jcom_lin,
+                jdqd_com=jdqd_com, dq_com=dq_com, com=com, v_com=v_com)
+
+
+def pyramid_rows(mu=0.5):
+    """cfr block, 5 rows per foot (main.cpp:1601-1625)."""
+    return jnp.asarray([[1.0, 0.0, -mu],
+                        [0.0, 1.0, -mu],
+                        [-1.0, 0.0, -mu],
+                        [0.0, -1.0, -mu],
+                        [0.0, 0.0, -1.0]])
+
+
+def qdd_bounds(robot, st, dt=0.025):
+    qmin, qmax = joint_limits(robot)
+    dt2 = 2.0 / dt ** 2
+    ddqmax = dt2 * (jnp.asarray(qmax) - st.q - dt * st.u[6:18])
+    ddqmin = dt2 * (jnp.asarray(qmin) - st.q - dt * st.u[6:18])
+    return ddqmin, ddqmax
+
+
+def moving_stance_state(robot, vy=0.12, wz=0.05):
+    """Full-stance state with nonzero base velocity and joint velocities
+    consistent with planted feet (q_dot = -Jj^{-1} Jb u_base), so the Tdot
+    terms of main.cpp:643-720 are all live."""
+    q = jnp.asarray(stance_ik(robot, nominal_stance(robot)))
+    p = jnp.asarray([0.0, 0.0, 0.42])
+    R = jnp.eye(3)
+    u_base = jnp.asarray([0.0, vy, 0.0, 0.0, 0.0, wz])
+    st0 = wbc.WbcState(p_base=p, R_wb=R, q=q, u=jnp.zeros(18),
+                       contact=jnp.ones(4))
+    Jc = rbd.contact_jacobian_mixed(robot, p, R, q)
+    qd = -jnp.linalg.solve(Jc[:, 6:18], Jc[:, 0:6] @ u_base)
+    u = jnp.concatenate([u_base, qd])
+    return st0._replace(u=u)
+
+
+def test_moving_state_full_stance_parity():
+    """Full-stance QP at u != 0: the reference's BiasCOM / JdqdCOM carry
+    the Tdot-transform terms (main.cpp:798, 810) — reconstruct them and
+    the full QP (main.cpp:1470-1647), compare physical outputs to our
+    mixed-coordinate WBC."""
+    cfg = EngineConfig(solver=SOLVER, wbc=WbcConfig(slack_weight_trot=1e8, ref_exact=True))
+    robot = cfg.robot
+    st = moving_stance_state(robot)
+    tr = com_transform(robot, st)
+    M_com, h_com = tr["M_com"], tr["h_com"]
+    Jcom_lin, jdqd = tr["Jcom_lin"], tr["jdqd_com"]
+    Jstcom = Jcom_lin[:, 0:6]
+    Jstj = Jcom_lin[:, 6:18]
+
+    # identical tracking references on both sides: hold position, kill
+    # the current velocity (deltav = -v) -> live Dcom term
+    com_des = tr["com"]
+    Wdes = (3000.0 * jnp.zeros(6)
+            + 50.0 * (-jnp.concatenate([tr["v_com"], st.u[3:6]]))
+            + jnp.zeros(6).at[2].set(MG))       # main.cpp:1571
+
+    Ts = jnp.zeros((6, 30)).at[:, 18:30].set(Jstcom.T)
+    P = 50.0 * (Ts.T @ Ts) + jnp.eye(30)
+    qv = -50.0 * (Ts.T @ Wdes)
+
+    A = jnp.zeros((18, 30))
+    A = A.at[0:6, 0:6].set(M_com[0:6, 0:6])
+    A = A.at[0:6, 18:30].set(-Jstcom.T)
+    A = A.at[6:18, 0:6].set(Jstcom)
+    A = A.at[6:18, 6:18].set(Jstj)
+    b = jnp.concatenate([-h_com[0:6], -jdqd])   # main.cpp:1586-1587
+
+    G = jnp.zeros((68, 30))
+    hv = jnp.zeros(68)
+    cfr = pyramid_rows()
+    for i in range(4):
+        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(cfr)
+    Mj = M_com[6:18, 6:18]
+    G = G.at[20:32, 6:18].set(Mj)
+    G = G.at[20:32, 18:30].set(-Jstj.T)
+    hv = hv.at[20:32].set(60.0 - h_com[6:18])
+    G = G.at[32:44, 6:18].set(-Mj)
+    G = G.at[32:44, 18:30].set(Jstj.T)
+    hv = hv.at[32:44].set(60.0 + h_com[6:18])
+    ddqmin, ddqmax = qdd_bounds(robot, st)
+    G = G.at[44:56, 6:18].set(jnp.eye(12))
+    hv = hv.at[44:56].set(ddqmax)
+    G = G.at[56:68, 6:18].set(-jnp.eye(12))
+    hv = hv.at[56:68].set(-ddqmin)
+
+    sol = solve_qp(QPData(P=P, q=qv, A=A, b=b, G=G, h=hv,
+                          eq_mask=jnp.ones(18), ineq_mask=jnp.ones(68)),
+                   SOLVER)
+    assert bool(sol.converged), f"gap={sol.gap} res={sol.res_norm}"
+    f_ref = np.asarray(sol.x[18:30]).reshape(4, 3)
+    tau_ref = np.asarray(Mj @ sol.x[6:18] + h_com[6:18]
+                         - Jstj.T @ sol.x[18:30])
+
+    feet = rbd.foot_positions_world(robot, st.p_base, st.R_wb, st.q)
+    z3 = jnp.zeros(3)
+    ref = wbc.WbcRefs(com_pos=com_des, com_vel=z3, com_acc=z3, rpy=z3,
+                      omega=z3, omega_dot=z3, swing_pos=feet,
+                      swing_vel=jnp.zeros((4, 3)),
+                      swing_acc=jnp.zeros((4, 3)))
+    out = wbc.solve(cfg, st, ref)
+    assert bool(out.sol.converged)
+
+    df = np.abs(np.asarray(out.forces) - f_ref).max()
+    assert df < 1e-3 * MG, f"force mismatch {df} N\nref={f_ref}\nours={np.asarray(out.forces)}"
+    dtau = np.abs(np.asarray(out.tau) - tau_ref).max()
+    assert dtau < 0.1, f"torque mismatch {dtau} Nm"
+
+
+def build_swing_qp(robot, st, tr, vdotswdes, swing=(0, 2)):
+    """The reference trot-swing QP (main.cpp:1716-2005), exactly as built
+    upstream: x = [udot(6); qdd(12); f_st(6); eps(6)], slack weight 1e8
+    (main.cpp:1751), NO bias / Jdot-qd in the equalities (eigenb = 0,
+    main.cpp:1850), two-sided swing rows with -I on the slack
+    (main.cpp:1864-1875)."""
+    Jcom_lin, jdqd = tr["Jcom_lin"], tr["jdqd_com"]
+    stance = [i for i in range(4) if i not in swing]
+    rows = lambda legs: jnp.concatenate(
+        [Jcom_lin[3 * i:3 * i + 3] for i in legs], axis=0)
+    Jst = rows(stance)                          # (6, 18)
+    Jsw = rows(swing)
+    jdqd_sw = jnp.concatenate([jdqd[3 * i:3 * i + 3] for i in swing])
+
+    Wdes = (50.0 * (-jnp.concatenate([tr["v_com"], st.u[3:6]]))
+            + jnp.zeros(6).at[2].set(MG))
+    Ts = jnp.zeros((6, 30)).at[:, 18:24].set(Jst[:, 0:6].T)
+    R30 = jnp.eye(30).at[24:30, 24:30].set(1e8 * jnp.eye(6))
+    P = 50.0 * (Ts.T @ Ts) + R30                # main.cpp:1745-1751
+    qv = -50.0 * (Ts.T @ Wdes)
+
+    M_com = tr["M_com"]
+    A = jnp.zeros((12, 30))
+    A = A.at[0:6, 0:6].set(M_com[0:6, 0:6])
+    A = A.at[0:6, 18:24].set(-Jst[:, 0:6].T)
+    A = A.at[6:12, 0:6].set(Jst[:, 0:6])
+    A = A.at[6:12, 6:18].set(Jst[:, 6:18])
+    b = jnp.zeros(12)                           # main.cpp:1850 (b == 0!)
+
+    G = jnp.zeros((70, 30))
+    hv = jnp.zeros(70)
+    cfr = pyramid_rows()
+    for i in range(2):
+        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(cfr)
+    Mj = M_com[6:18, 6:18]
+    G = G.at[10:22, 6:18].set(Mj)
+    G = G.at[10:22, 18:24].set(-Jst[:, 6:18].T)
+    hv = hv.at[10:22].set(60.0 - tr["h_com"][6:18])
+    G = G.at[22:34, 6:18].set(-Mj)
+    G = G.at[22:34, 18:24].set(Jst[:, 6:18].T)
+    hv = hv.at[22:34].set(60.0 + tr["h_com"][6:18])
+    # swing tracking rows with slack (main.cpp:1864-1875, 1990-1992)
+    G = G.at[34:40, 0:6].set(Jsw[:, 0:6])
+    G = G.at[34:40, 6:18].set(Jsw[:, 6:18])
+    G = G.at[34:40, 24:30].set(-jnp.eye(6))
+    hv = hv.at[34:40].set(vdotswdes - jdqd_sw)
+    G = G.at[40:46, 0:6].set(-Jsw[:, 0:6])
+    G = G.at[40:46, 6:18].set(-Jsw[:, 6:18])
+    G = G.at[40:46, 24:30].set(-jnp.eye(6))
+    hv = hv.at[40:46].set(-vdotswdes + jdqd_sw)
+    ddqmin, ddqmax = qdd_bounds(robot, st)
+    G = G.at[46:58, 6:18].set(jnp.eye(12))
+    hv = hv.at[46:58].set(ddqmax)
+    G = G.at[58:70, 6:18].set(-jnp.eye(12))
+    hv = hv.at[58:70].set(-ddqmin)
+    return QPData(P=P, q=qv, A=A, b=b, G=G, h=hv,
+                  eq_mask=jnp.ones(12), ineq_mask=jnp.ones(70)), (Mj, Jst)
+
+
+def test_trot_swing_qp_parity():
+    """Trot-swing QP (BR+FL swing, gait 1): the reference's 1e8 slack-
+    variable formulation must be behaviorally equivalent to our soft-cost
+    swing tracking at the same state/references."""
+    cfg = EngineConfig(solver=SOLVER, wbc=WbcConfig(slack_weight_trot=1e8, ref_exact=True))
+    robot = cfg.robot
+    q = jnp.asarray(stance_ik(robot, nominal_stance(robot)))
+    st = wbc.WbcState(p_base=jnp.asarray([0.0, 0.0, 0.42]),
+                      R_wb=jnp.eye(3), q=q, u=jnp.zeros(18),
+                      contact=jnp.asarray([0.0, 1.0, 0.0, 1.0]))
+    tr = com_transform(robot, st)
+
+    # swing references: lift BR and FL at 1.2 m/s^2 with position feedback
+    feet = rbd.foot_positions_world(robot, st.p_base, st.R_wb, st.q)
+    tgt = feet + jnp.asarray([[0.0, 0.02, 0.03]]) * jnp.asarray(
+        [[1.0], [0.0], [1.0], [0.0]])
+    acc = jnp.asarray([[0.0, 0.0, 1.2]]) * jnp.asarray(
+        [[1.0], [0.0], [1.0], [0.0]])
+    # vdotswdes = accdes + Kd (vdes - v) + Kp (pdes - p) (main.cpp:1988)
+    vdot_all = acc + 300.0 * (tgt - feet)       # u = 0 -> v term drops
+    vdotswdes = jnp.concatenate([vdot_all[0], vdot_all[2]])
+
+    qp, (Mj, Jst) = build_swing_qp(robot, st, tr, vdotswdes, swing=(0, 2))
+    sol = solve_qp(qp, SOLVER)
+    assert bool(sol.converged), f"gap={sol.gap} res={sol.res_norm}"
+    f_ref = np.zeros((4, 3))
+    f_ref[1] = np.asarray(sol.x[18:21])         # BL
+    f_ref[3] = np.asarray(sol.x[21:24])         # FR
+    tau_ref = np.asarray(Mj @ sol.x[6:18] + tr["h_com"][6:18]
+                         - Jst[:, 6:18].T @ sol.x[18:24])  # main.cpp:2023
+
+    z3 = jnp.zeros(3)
+    ref = wbc.WbcRefs(com_pos=tr["com"], com_vel=z3, com_acc=z3, rpy=z3,
+                      omega=z3, omega_dot=z3, swing_pos=tgt,
+                      swing_vel=jnp.zeros((4, 3)), swing_acc=acc)
+    out = wbc.solve(cfg, st, ref)
+    assert bool(out.sol.converged)
+
+    df = np.abs(np.asarray(out.forces) - f_ref).max()
+    assert df < 1e-3 * MG, f"force mismatch {df} N\nref={f_ref}\nours={np.asarray(out.forces)}"
+    dtau = np.abs(np.asarray(out.tau) - tau_ref).max()
+    assert dtau < 0.1, f"torque mismatch {dtau} Nm"
+
+
+def test_crawl_qp_parity():
+    """Crawl QP (one swing leg, qpproblemcrawl main.cpp:2915-3266):
+    3-stance pyramid, 15 equalities WITH bias/Jdot-qd (main.cpp:3037-3040),
+    slack weight 1e4 (main.cpp:2976) — our WBC with crawl=True must match."""
+    cfg = EngineConfig(solver=SOLVER, wbc=WbcConfig(slack_weight_crawl=1e4, ref_exact=True))
+    robot = cfg.robot
+    q = jnp.asarray(stance_ik(robot, nominal_stance(robot)))
+    st = wbc.WbcState(p_base=jnp.asarray([0.0, 0.0, 0.42]),
+                      R_wb=jnp.eye(3), q=q, u=jnp.zeros(18),
+                      contact=jnp.asarray([0.0, 1.0, 1.0, 1.0]),
+                      crawl=jnp.asarray(True))
+    tr = com_transform(robot, st)
+    Jcom_lin, jdqd = tr["Jcom_lin"], tr["jdqd_com"]
+    stance = (1, 2, 3)                          # BR swings
+    rows = lambda legs: jnp.concatenate(
+        [Jcom_lin[3 * i:3 * i + 3] for i in legs], axis=0)
+    Jst = rows(stance)                          # (9, 18)
+    Jsw = Jcom_lin[0:3]
+    jdqd_st = jnp.concatenate([jdqd[3 * i:3 * i + 3] for i in stance])
+
+    feet = rbd.foot_positions_world(robot, st.p_base, st.R_wb, st.q)
+    tgt = feet.at[0, 2].add(0.03)
+    acc = jnp.zeros((4, 3)).at[0, 2].set(1.0)
+    vdotswdes = acc[0] + 300.0 * (tgt[0] - feet[0])
+
+    Wdes = (50.0 * (-jnp.concatenate([tr["v_com"], st.u[3:6]]))
+            + jnp.zeros(6).at[2].set(MG))
+    Ts = jnp.zeros((6, 30)).at[:, 18:27].set(Jst[:, 0:6].T)
+    R30 = jnp.eye(30).at[27:30, 27:30].set(1e4 * jnp.eye(3))  # main.cpp:2976
+    P = 50.0 * (Ts.T @ Ts) + R30
+    qv = -50.0 * (Ts.T @ Wdes)
+
+    M_com = tr["M_com"]
+    A = jnp.zeros((15, 30))
+    A = A.at[0:6, 0:6].set(M_com[0:6, 0:6])
+    A = A.at[0:6, 18:27].set(-Jst[:, 0:6].T)
+    A = A.at[6:15, 0:6].set(Jst[:, 0:6])
+    A = A.at[6:15, 6:18].set(Jst[:, 6:18])
+    b = jnp.concatenate([-tr["h_com"][0:6], -jdqd_st])  # main.cpp:3037-3040
+
+    G = jnp.zeros((69, 30))
+    hv = jnp.zeros(69)
+    cfr = pyramid_rows()
+    for i in range(3):
+        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(cfr)
+    Mj = M_com[6:18, 6:18]
+    G = G.at[15:27, 6:18].set(Mj)
+    G = G.at[15:27, 18:27].set(-Jst[:, 6:18].T)
+    hv = hv.at[15:27].set(60.0 - tr["h_com"][6:18])
+    G = G.at[27:39, 6:18].set(-Mj)
+    G = G.at[27:39, 18:27].set(Jst[:, 6:18].T)
+    hv = hv.at[27:39].set(60.0 + tr["h_com"][6:18])
+    G = G.at[39:42, 0:6].set(Jsw[:, 0:6])
+    G = G.at[39:42, 6:18].set(Jsw[:, 6:18])
+    G = G.at[39:42, 27:30].set(-jnp.eye(3))
+    hv = hv.at[39:42].set(vdotswdes - jdqd[0:3])
+    G = G.at[42:45, 0:6].set(-Jsw[:, 0:6])
+    G = G.at[42:45, 6:18].set(-Jsw[:, 6:18])
+    G = G.at[42:45, 27:30].set(-jnp.eye(3))
+    hv = hv.at[42:45].set(-vdotswdes + jdqd[0:3])
+    ddqmin, ddqmax = qdd_bounds(robot, st)
+    G = G.at[45:57, 6:18].set(jnp.eye(12))
+    hv = hv.at[45:57].set(ddqmax)
+    G = G.at[57:69, 6:18].set(-jnp.eye(12))
+    hv = hv.at[57:69].set(-ddqmin)
+
+    sol = solve_qp(QPData(P=P, q=qv, A=A, b=b, G=G, h=hv,
+                          eq_mask=jnp.ones(15), ineq_mask=jnp.ones(69)),
+                   SOLVER)
+    assert bool(sol.converged), f"gap={sol.gap} res={sol.res_norm}"
+    f_ref = np.zeros((4, 3))
+    for k, leg in enumerate(stance):
+        f_ref[leg] = np.asarray(sol.x[18 + 3 * k:21 + 3 * k])
+    tau_ref = np.asarray(Mj @ sol.x[6:18] + tr["h_com"][6:18]
+                         - Jst[:, 6:18].T @ sol.x[18:27])  # main.cpp:3246
+
+    z3 = jnp.zeros(3)
+    ref = wbc.WbcRefs(com_pos=tr["com"], com_vel=z3, com_acc=z3, rpy=z3,
+                      omega=z3, omega_dot=z3, swing_pos=tgt,
+                      swing_vel=jnp.zeros((4, 3)), swing_acc=acc)
+    out = wbc.solve(cfg, st, ref)
+    assert bool(out.sol.converged)
+
+    df = np.abs(np.asarray(out.forces) - f_ref).max()
+    assert df < 1e-3 * MG, f"force mismatch {df} N\nref={f_ref}\nours={np.asarray(out.forces)}"
+    dtau = np.abs(np.asarray(out.tau) - tau_ref).max()
+    assert dtau < 0.1, f"torque mismatch {dtau} Nm"
