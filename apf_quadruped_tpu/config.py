@@ -193,6 +193,15 @@ class MpcConfig:
     # on TPU and "riccati" (lax.scan banded LQR IPM) elsewhere;
     # "condensed" (dense QP in stacked forces) kept for cross-validation
     backend: str = "auto"
+    # SQP outer iterations (SURVEY.md §7.4: the fallback for towr's
+    # NONCONVEX orientation/foothold coupling that IPOPT searched).  1 =
+    # single convex solve around the reference trajectory (the round-1
+    # behavior).  >1: after each solve, re-linearize the SRB dynamics
+    # around the PREDICTED trajectory and fold the exact nonlinear
+    # one-step defect (gyroscopic term, attitude coupling, true lever
+    # arms) into the affine carrier column, then re-solve — Gauss-Newton
+    # on the SRB NLP, every iteration the same fixed-shape QP.
+    sqp_iters: int = 1
     w_pos: float = 400.0
     w_att: float = 150.0
     w_vel: float = 10.0
@@ -202,6 +211,17 @@ class MpcConfig:
     mu: float = 0.5
     fz_max: float = 1000.0         # towr parameters.cc:48
     fz_min: float = 0.0
+    # Optional base-motion box (towr BaseMotionConstraint,
+    # base_motion_constraint.cc:46-55: roll/pitch in +-dev_rad, base z in
+    # [z0 - z_below, z0 + z_above]; x/y/yaw unbounded).  OPT-IN like
+    # upstream: BaseRom is NOT in the reference's default constraint set
+    # (parameters.cc:55-61), so this is off by default.  When enabled,
+    # plan() routes to the condensed backend, where the state box is exact
+    # (hard inequality rows on the condensed prediction matrix).
+    base_box: bool = False
+    base_dev_rad: float = 0.05     # base_motion_constraint.cc:46
+    base_z_below: float = 0.02     # base_motion_constraint.cc:55
+    base_z_above: float = 0.10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -179,7 +179,12 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     elsewhere (interpret-mode Pallas is correct but slow off-TPU).
     """
     backend = cfg.mpc.backend
-    if backend == "auto":
+    if cfg.mpc.base_box:
+        # the opt-in BaseRom box (towr base_motion_constraint.cc:46-55) is
+        # exact only as rows on the condensed prediction matrix; the
+        # Riccati stage structure has no state-inequality support
+        backend = "condensed"
+    elif backend == "auto":
         backend = ("riccati_fused" if jax.default_backend() == "tpu"
                    else "riccati")
     if backend in ("riccati", "riccati_fused"):
@@ -207,6 +212,39 @@ def _linearizations(cfg: EngineConfig, refs: MpcRefs):
                                   refs.contacts, cfg.mpc.dt)
 
 
+def _sqp_relinearize(cfg: EngineConfig, state0, refs: MpcRefs, sol):
+    """Re-linearize the SRB dynamics around the predicted trajectory
+    (SQP / Gauss-Newton outer iteration — the role IPOPT's nonconvex
+    search fills in the reference, SURVEY.md §7.4).
+
+    Returns (A, B) evaluated at the solved (x, u), with the EXACT
+    nonlinear one-step defect c_k = f(x_k, u_k) - A x_k - B u_k folded
+    into the affine carrier column of A — so terms the per-knot
+    linearization drops (gyroscopic w x Iw, roll/pitch attitude coupling,
+    true vs reference lever arms) enter the next solve exactly at the
+    linearization point.
+    """
+    dt = cfg.mpc.dt
+    # states at each stage's START: [x0, x_1 .. x_{H-1}]
+    xs = jnp.concatenate([state0[..., None, :], sol.x[..., :-1, :]], axis=-2)
+    yaw_k = xs[..., 2]
+    r_k = xs[..., 3:6]
+    A, B = srb.linearize_discrete(cfg.robot, yaw_k, r_k, refs.feet_w,
+                                  refs.contacts, dt)
+    forces = (sol.u.reshape(sol.u.shape[:-1] + (4, 3))
+              * refs.contacts[..., None])
+    rpy, r, om, v = srb.unpack_state(xs)
+    d_rpy, d_r, d_om, d_v = srb.srb_derivative(
+        cfg.robot, rpy, r, om, v, refs.feet_w, forces)
+    dx = jnp.concatenate(
+        [d_rpy, d_r, d_om, d_v, jnp.zeros_like(xs[..., 12:13])], axis=-1)
+    f_nl = xs + dt * dx                              # exact Euler step
+    c = (f_nl
+         - jnp.einsum("...ij,...j->...i", A, xs)
+         - jnp.einsum("...ij,...j->...i", B, sol.u))
+    return A.at[..., :, 12].add(c), B
+
+
 def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
                   backend: str = "riccati") -> MpcPlan:
     from .ops.riccati import StageQP, solve_stage_qp
@@ -221,14 +259,20 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
     R = mpc.w_force * jnp.eye(srb.NU, dtype=dtype)
     blk, rhs_blk = _pyramid_constants(cfg)
     mask = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
-    qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
-                 G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
-                 mask=mask, x0=state0)
-    if backend == "riccati_fused":
-        from .ops.pallas_riccati import solve_stage_qp_fused
-        sol = solve_stage_qp_fused(qp, cfg.solver)
-    else:
-        sol = solve_stage_qp(qp, cfg.solver)
+
+    def solve(A, B):
+        qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
+                     G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
+                     mask=mask, x0=state0)
+        if backend == "riccati_fused":
+            from .ops.pallas_riccati import solve_stage_qp_fused
+            return solve_stage_qp_fused(qp, cfg.solver)
+        return solve_stage_qp(qp, cfg.solver)
+
+    sol = solve(A, B)
+    for _ in range(max(1, mpc.sqp_iters) - 1):       # SQP outer loop
+        A, B = _sqp_relinearize(cfg, state0, refs, sol)
+        sol = solve(A, B)
     from .ops.qpsolve import QPSolution
     diag = QPSolution(x=sol.u.reshape(sol.u.shape[:-2] + (-1,)),
                       y=jnp.zeros_like(state0[..., 0:1]),
@@ -280,6 +324,30 @@ def _plan_condensed(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
                          batch + (m_total,))
     mask_blk = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
     ineq_mask = mask_blk.reshape(batch + (m_total,))
+
+    if mpc.base_box:
+        # towr BaseMotionConstraint (base_motion_constraint.cc:46-55):
+        # roll/pitch in +-dev_rad, base z in [z0 - below, z0 + above];
+        # x/y/yaw free.  Exact on the condensed form: x_k = Sx_x0 + Su U,
+        # so lo <= x_k[d] <= hi becomes two rows on U per knot per dim.
+        dims = [0, 1, 5]                                  # roll, pitch, z
+        z0 = state0[..., 5]
+        dev = jnp.asarray(mpc.base_dev_rad, dtype)
+        los = jnp.stack([-dev + 0.0 * z0, -dev + 0.0 * z0,
+                         z0 - mpc.base_z_below], axis=-1)  # (.., 3)
+        his = jnp.stack([dev + 0.0 * z0, dev + 0.0 * z0,
+                         z0 + mpc.base_z_above], axis=-1)
+        Su_d = Su[..., :, dims, :]                        # (.., H, 3, H*NU)
+        Sx_d = Sx_x0[..., :, dims]                        # (.., H, 3)
+        G_box = jnp.concatenate([Su_d, -Su_d], axis=-2)   # (.., H, 6, H*NU)
+        h_box = jnp.concatenate([his[..., None, :] - Sx_d,
+                                 Sx_d - los[..., None, :]], axis=-1)
+        n_box = Hh * 2 * len(dims)
+        G = jnp.concatenate(
+            [G, G_box.reshape(batch + (n_box, Hh * NU))], axis=-2)
+        h = jnp.concatenate([h, h_box.reshape(batch + (n_box,))], axis=-1)
+        ineq_mask = jnp.concatenate(
+            [ineq_mask, jnp.ones(batch + (n_box,), dtype)], axis=-1)
 
     # no equality rows (swing forces are decoupled + regularized to zero)
     Aeq = jnp.zeros(batch + (1, Hh * NU), dtype)

@@ -17,6 +17,16 @@ Two modes, one metric — solves/s/device on the headline planner solve
   --mode batch  batch scaling on ONE real chip: efficiency(B) =
                 t(B0) * (B/B0) / t(B) — how close larger batches stay to
                 linear cost in batch (the knee measurement of PERF.md).
+  --mode overhead  sharding-overhead isolation for hosts where virtual
+                devices timeshare the same cores (weak scaling there only
+                measures core oversubscription, not the mesh): run the
+                SAME total batch (a) plain-jit on one device and (b)
+                shard_map over all devices, on the same silicon.
+                overhead = 1 - t_plain / t_mesh.  Since the scenario mesh
+                has zero cross-device traffic inside the solve (only the
+                final stats pmean), overhead ~ 0 here predicts weak-scaling
+                efficiency ~ 1 on real chips, where each mesh device IS
+                extra hardware.
 
 Prints one JSON line per point, then a final summary line with the
 headline efficiency the driver can capture.
@@ -172,9 +182,48 @@ def mode_batch(args):
     }), flush=True)
 
 
+def mode_overhead(args):
+    import jax
+
+    from apf_quadruped_tpu.parallel import mesh as mesh_mod
+
+    n = len(jax.devices())
+    cfg, f = build_plan_fn(args.backend, args.iters)
+    B = args.per_device_batch * n
+    x0, refs = build_inputs(cfg, B)
+
+    # (a) plain jit, one device (the others idle — same silicon when
+    # virtual devices timeshare one host)
+    dev0 = jax.devices()[0]
+    plain = jax.tree.map(lambda a: jax.device_put(a, dev0), (x0, refs))
+    t_plain, conv_p = timed(f, *plain, args.reps)
+
+    # (b) shard_map over the full scenario mesh, same total batch
+    m = mesh_mod.scenario_mesh(jax.devices())
+    sx0, srefs = mesh_mod.shard_batch(m, (x0, refs))
+    t_mesh, conv_m = timed(f, sx0, srefs, args.reps)
+
+    overhead = 1.0 - t_plain / t_mesh
+    print(json.dumps({
+        "mode": "overhead", "n_devices": n, "B_total": B,
+        "ms_plain_1dev": round(t_plain * 1e3, 3),
+        "ms_mesh": round(t_mesh * 1e3, 3),
+        "conv_plain": round(conv_p, 4), "conv_mesh": round(conv_m, 4),
+    }), flush=True)
+    print(json.dumps({
+        "metric": f"sharding_overhead_{n}dev_sametotal",
+        "value": round(overhead, 4), "unit": "fraction",
+        "platform": jax.devices()[0].platform,
+        "note": "mesh vs plain at equal total batch on shared silicon; "
+                "~0 => weak scaling ~1 on real chips (no cross-device "
+                "traffic inside the solve)",
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("mesh", "batch"), default="mesh")
+    ap.add_argument("--mode", choices=("mesh", "batch", "overhead"),
+                    default="mesh")
     ap.add_argument("--backend", default=None,
                     help="default: riccati for mesh/CPU, riccati_fused "
                          "for batch/TPU")
@@ -184,7 +233,7 @@ def main():
     ap.add_argument("--batches", default="256,512,1024,2048")
     args = ap.parse_args()
 
-    if args.mode == "mesh" and not os.environ.get(_MARK):
+    if args.mode in ("mesh", "overhead") and not os.environ.get(_MARK):
         # mesh mode needs >= 8 devices; off-pod that means the virtual CPU
         # mesh (re-exec with a clean env, as the test conftest does)
         _reexec_cpu(8)
@@ -201,7 +250,8 @@ def main():
     if args.backend is None:
         args.backend = ("riccati_fused"
                         if jax.default_backend() == "tpu" else "riccati")
-    (mode_mesh if args.mode == "mesh" else mode_batch)(args)
+    {"mesh": mode_mesh, "batch": mode_batch,
+     "overhead": mode_overhead}[args.mode](args)
 
 
 if __name__ == "__main__":

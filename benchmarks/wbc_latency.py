@@ -53,7 +53,8 @@ def main():
             R_wb=jnp.broadcast_to(st0.R_wb, (B, 3, 3)).astype(dtype),
             q=q,
             u=jnp.asarray(rng.normal(size=(B, 18)) * 0.01, dtype),
-            contact=jnp.ones((B, 4), dtype))
+            contact=jnp.ones((B, 4), dtype),
+            crawl=jnp.zeros(B, bool))
         com = jax.vmap(lambda p, R, qq: rbd.com_position(cfg.robot, p, R, qq)
                        )(sts.p_base, sts.R_wb, sts.q)
         z3 = jnp.zeros((B, 3), dtype)

@@ -139,3 +139,105 @@ def test_batched_plan():
     out = planner.plan(CFG, x0, refs)
     assert out.forces.shape == (B, CFG.mpc.horizon, 4, 3)
     assert bool(np.all(out.sol.converged))
+
+
+def test_base_motion_box():
+    """Opt-in BaseRom box (towr base_motion_constraint.cc:46-55): an
+    aggressive upward CoM goal must be clipped by the hard z box
+    [z0 - 0.02, z0 + 0.1] when base_box is on, while the unconstrained
+    plan overshoots it."""
+    # reference runtime tolerances (main.cpp:1651-1652): the box adds 60
+    # active-ish rows whose slacks are O(m), so the absolute gap settles
+    # higher than the pyramid-only QPs, and lanes must freeze once both
+    # criteria hold (pushing far past convergence pinches the slacks and
+    # breaks the KKT conditioning)
+    cfg_box = EngineConfig(
+        mpc=MpcConfig(horizon=10, dt=0.05, base_box=True),
+        solver=SolverConfig(iters=30, reltol=1e-2, abstol=1e-2))
+    cfg_free = cfg_box.replace(mpc=MpcConfig(horizon=10, dt=0.05))
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.0, 0.65])        # 0.25 m up: outside box
+    feet0 = jnp.asarray(nominal_stance(cfg_box.robot)) + com0
+    feet0 = feet0.at[:, 2].set(0.0)
+    H = cfg_box.mpc.horizon
+    contacts = jnp.ones((H, 4))
+    refs = planner.MpcRefs(
+        contacts=contacts,
+        feet_w=planner.foothold_schedule(feet0, feet0, contacts),
+        x_ref=planner.reference_trajectory(
+            cfg_box, jnp.zeros(3), com0, com_des, jnp.asarray(0.0),
+            jnp.asarray(H * cfg_box.mpc.dt)),
+        yaw_ref=jnp.asarray(0.0))
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+
+    free = planner.plan(cfg_free, x0, refs)
+    boxed = planner.plan(cfg_box, x0, refs)
+    assert bool(boxed.sol.converged)
+    z_free = np.asarray(free.states)[:, 5]
+    z_boxed = np.asarray(boxed.states)[:, 5]
+    assert z_free.max() > 0.4 + 0.1 + 0.01, \
+        f"test premise broken: free plan never leaves the box ({z_free.max()})"
+    assert z_boxed.max() <= 0.4 + 0.1 + 2e-3, f"box violated: {z_boxed.max()}"
+    assert z_boxed.min() >= 0.4 - 0.02 - 2e-3
+    # roll/pitch stay inside +-dev_rad too
+    rp = np.abs(np.asarray(boxed.states)[:, 0:2])
+    assert rp.max() <= 0.05 + 2e-3
+
+
+def _nl_rollout_defect(cfg, x0, refs, out):
+    """Max per-knot defect between the plan's predicted states and an
+    exact nonlinear SRB rollout applying the planned forces."""
+    dt = cfg.mpc.dt
+    xs = np.asarray(x0, np.float64)
+    defects = []
+    states = np.asarray(out.states)
+    forces = np.asarray(out.forces) * np.asarray(refs.contacts)[..., None]
+    feet = np.asarray(refs.feet_w)
+    x = jnp.asarray(xs)
+    for k in range(cfg.mpc.horizon):
+        rpy, r, om, v = srb.unpack_state(x)
+        d = srb.srb_derivative(cfg.robot, rpy, r, om, v,
+                               jnp.asarray(feet[k]), jnp.asarray(forces[k]))
+        x = x.at[0:3].add(dt * d[0]).at[3:6].add(dt * d[1]) \
+             .at[6:9].add(dt * d[2]).at[9:12].add(dt * d[3])
+        defects.append(np.abs(np.asarray(x)[:12] - states[k][:12]).max())
+    return max(defects)
+
+
+def test_sqp_improves_dynamic_consistency():
+    """SQP outer loop (MpcConfig.sqp_iters, SURVEY.md §7.4): for a fast
+    yaw-turning, tilted initial state the single convex solve linearizes
+    about the wrong attitude/lever arms; re-linearizing around the
+    predicted trajectory must cut the nonlinear rollout defect."""
+    base = EngineConfig(
+        mpc=MpcConfig(horizon=10, dt=0.05, backend="riccati"),
+        solver=SolverConfig(iters=25, reltol=1e-6, abstol=1e-4))
+    com0 = jnp.array([0.0, 0.0, 0.42])
+    com_des = jnp.array([0.15, 0.25, 0.40])
+    rpy0 = jnp.array([0.12, -0.08, 0.4])
+    omega0 = jnp.array([0.4, 0.3, 1.5])      # fast yaw + tumble rates
+    feet0 = jnp.asarray(nominal_stance(base.robot)) + com0
+    feet0 = feet0.at[:, 2].set(0.0)
+    H = base.mpc.horizon
+    contacts = jnp.ones((H, 4))
+    refs = planner.MpcRefs(
+        contacts=contacts,
+        feet_w=planner.foothold_schedule(feet0, feet0, contacts),
+        x_ref=planner.reference_trajectory(
+            base, rpy0, com0, com_des, rpy0[2],
+            jnp.asarray(H * base.mpc.dt)),
+        yaw_ref=rpy0[2])
+    x0 = srb.pack_state(rpy0, com0, omega0, jnp.array([0.1, 0.3, 0.0]))
+
+    defects = {}
+    for n in (1, 4):
+        cfg = base.replace(mpc=MpcConfig(horizon=10, dt=0.05,
+                                         backend="riccati", sqp_iters=n))
+        out = planner.plan(cfg, x0, refs)
+        assert bool(out.sol.converged), f"sqp_iters={n} did not converge"
+        defects[n] = _nl_rollout_defect(cfg, x0, refs, out)
+    # measured convergence (CPU f64): 5.08 / 0.25 / 0.13 / 6e-3 / 1.3e-4 /
+    # 3e-6 at sqp_iters 1/2/3/4/6/8 — quadratic-ish contraction
+    assert defects[4] < 0.01 * defects[1], (
+        f"SQP must cut the nonlinear defect: {defects}")
+    assert defects[4] < 0.02, f"absolute consistency too loose: {defects}"
