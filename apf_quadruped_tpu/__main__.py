@@ -18,9 +18,14 @@ import sys
 
 
 def _cfg(args):
-    from .config import EngineConfig, SolverConfig, WbcConfig
+    from .config import (EngineConfig, GaitConfig, MpcConfig, SolverConfig,
+                         WbcConfig)
 
+    gait_mode = getattr(args, "gait", "trot")
     return EngineConfig(
+        gait=GaitConfig(mode=gait_mode),
+        mpc=MpcConfig(horizon=40 if gait_mode != "trot" else 20,
+                      sqp_iters=getattr(args, "sqp", 1)),
         solver=SolverConfig(iters=args.iters, reltol=1e-4, abstol=1e-3),
         wbc=WbcConfig(slack_weight_trot=1e6))
 
@@ -104,6 +109,11 @@ def main(argv=None):
     pr.add_argument("--iters", type=int, default=15)
     pr.add_argument("--plot", type=str, default="",
                     help="write trajectory PNG here")
+    pr.add_argument("--gait", choices=("trot", "crawl", "adaptive"),
+                    default="trot",
+                    help="gait mode (adaptive = in-loop robustness switch)")
+    pr.add_argument("--sqp", type=int, default=1,
+                    help="SQP outer iterations per MPC solve")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("sweep", help="batched scenario sweep")

@@ -200,7 +200,9 @@ class MpcConfig:
     # around the PREDICTED trajectory and fold the exact nonlinear
     # one-step defect (gyroscopic term, attitude coupling, true lever
     # arms) into the affine carrier column, then re-solve — Gauss-Newton
-    # on the SRB NLP, every iteration the same fixed-shape QP.
+    # on the SRB NLP, every iteration the same fixed-shape QP.  Applies to
+    # the riccati/riccati_fused backends (the production paths); the
+    # condensed cross-validation backend ignores it.
     sqp_iters: int = 1
     w_pos: float = 400.0
     w_att: float = 150.0
