@@ -22,11 +22,17 @@ def _cfg(args):
                          WbcConfig)
 
     gait_mode = getattr(args, "gait", "trot")
+    # f32-safe tolerances (the CLI runs f32 on device): reltol/abstol 1e-2
+    # is the reference's own runtime setting (main.cpp:1651-1652) AND the
+    # f32-reachable one — tighter (1e-4) tolerances are only reachable at
+    # f64, and unreachable tolerances prevent lanes from freezing, letting
+    # the IPM iterate past convergence into f32 Cholesky breakdown
+    # (measured in F32_HEALTH.md).
     return EngineConfig(
         gait=GaitConfig(mode=gait_mode),
         mpc=MpcConfig(horizon=40 if gait_mode != "trot" else 20,
                       sqp_iters=getattr(args, "sqp", 1)),
-        solver=SolverConfig(iters=args.iters, reltol=1e-4, abstol=1e-3),
+        solver=SolverConfig(iters=args.iters, reltol=1e-2, abstol=1e-2),
         wbc=WbcConfig(slack_weight_trot=1e6))
 
 

@@ -178,6 +178,15 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     "auto" (the default) resolves at trace time: fused on TPU, scan
     elsewhere (interpret-mode Pallas is correct but slow off-TPU).
     """
+    # highest matmul precision for the WHOLE plan, not just the IPM: the
+    # per-knot linearizations (I_w^-1 levers, condensation matmuls) and
+    # the SQP defect algebra otherwise run at the TPU's default bf16
+    # mantissa and hand the solver a corrupted problem (see wbc.solve).
+    with jax.default_matmul_precision("highest"):
+        return _plan_impl(cfg, state0, refs)
+
+
+def _plan_impl(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     backend = cfg.mpc.backend
     if cfg.mpc.base_box:
         # the opt-in BaseRom box (towr base_motion_constraint.cc:46-55) is

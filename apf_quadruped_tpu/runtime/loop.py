@@ -78,7 +78,22 @@ def _phase_gait_flag(cycle_idx):
 def run_cycle(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
               target_xy: jnp.ndarray,
               dist_sched: jnp.ndarray) -> tuple[LoopState, CycleMetrics]:
-    """One replan cycle: navigate, plan, track."""
+    """One replan cycle: navigate, plan, track.
+
+    The whole cycle runs at HIGHEST matmul precision: the physics
+    integrator, kinematics, and reference algebra feed the solvers, and
+    the TPU's default bf16-mantissa matmuls corrupt them at the ~1e-2
+    level — enough to fell the robot (F32_HEALTH.md).  The flops here are
+    tiny 3x3/18x18 chains; the MXU bf16 fast path buys nothing.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _run_cycle_impl(cfg, st, terr, target_xy, dist_sched)
+
+
+def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
+                    terr: terrain_mod.Terrain, target_xy: jnp.ndarray,
+                    dist_sched: jnp.ndarray
+                    ) -> tuple[LoopState, CycleMetrics]:
     dtype = st.sim.q.dtype
     robot = cfg.robot
 

@@ -244,7 +244,21 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
 @partial(jax.jit, static_argnames=("cfg",))
 def solve(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> WbcOutput:
     """One WBC tick (single sample — vmap for batches; everything inside
-    is shape-static)."""
+    is shape-static).
+
+    The WHOLE tick runs at HIGHEST matmul precision, not just the IPM:
+    on TPU the default bf16 mantissa (~3 decimal digits) corrupts the
+    autodiff mass matrix/Jacobians and the 1e6-weighted swing-cost Grams
+    BEFORE the solver ever sees them — the QP data itself is wrong.
+    Measured closed-loop on v5e (F32_HEALTH.md): qp_converged 0.06 and
+    30 cm tracking error with default precision vs healthy at highest.
+    (CPU tests can't catch this: CPU matmuls are always full-precision.)
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(cfg, st, ref)
+
+
+def _solve_impl(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> WbcOutput:
     qp, (M, h, Jc, com) = _build_qp(cfg, st, ref)
     sol = solve_qp(qp, cfg.solver)
     udot = sol.x[0:18]
