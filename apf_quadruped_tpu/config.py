@@ -181,6 +181,14 @@ class SolverConfig:
     # route the per-stage SPD factor+solve through the fused batch-on-lanes
     # Pallas kernel (ops/pallas_chol.py) instead of XLA cholesky+trisolve
     use_pallas: bool = False
+    # EXPERIMENTAL (fused Riccati backend only): store the per-knot (A, B)
+    # stage linearizations in bfloat16 in HBM, converting to f32 inside
+    # the kernels (~4e-3 relative error on the dynamics data; all KKT
+    # algebra stays f32).  MEASURED: no throughput change at B<=2048
+    # (35.8k solves/s either way, conv=1.0) — the dominant HBM streams
+    # are the inter-kernel factor products (L/D/K), not A/B; see
+    # PERF.md.  Kept as a validated lever for when those move in-kernel.
+    stage_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -112,10 +112,16 @@ def _subst_packed(Lv, Dv, rhs, n):
 def _rollout_kernel(H, nx, nu, m):
     def kernel(g_ref, rmat_ref, qmat_ref, a_ref, b_ref, qlin_ref, u_ref,
                zm_ref, x0_ref, x_ref, rx_ref, gu_ref):
+        dt = x0_ref.dtype                       # compute dtype (f32);
+        # a_ref/b_ref may be stored bf16 (SolverConfig.stage_bf16) — cast
+        # on load, all arithmetic stays f32
+
         # forward rollout
         def fwd(k, x):
-            xn = jnp.sum(a_ref[k] * x[None, :, :], axis=1) \
-                + jnp.sum(b_ref[k] * u_ref[k][None, :, :], axis=1)
+            Ak = a_ref[k].astype(dt)
+            Bk = b_ref[k].astype(dt)
+            xn = jnp.sum(Ak * x[None, :, :], axis=1) \
+                + jnp.sum(Bk * u_ref[k][None, :, :], axis=1)
             x_ref[k] = xn
             return xn
         jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
@@ -126,11 +132,13 @@ def _rollout_kernel(H, nx, nu, m):
         # exact for any SPD cost the StageQP interface allows.
         def bwd(kk, lam):
             k = H - 1 - kk
+            Ak = a_ref[k].astype(dt)
+            Bk = b_ref[k].astype(dt)
             qx = jnp.sum(qmat_ref[:][:, :, None] * x_ref[k][None, :, :],
                          axis=1)
             lam_k = qx + qlin_ref[k] + lam
             # B' lam: (nx, nu, L) * (nx, 1, L) summed over nx
-            bt_lam = jnp.sum(b_ref[k] * lam_k[:, None, :], axis=0)
+            bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
             gt_zm = jax.lax.dot_general(
                 g_ref[:], zm_ref[k], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(bt_lam.dtype)
@@ -141,8 +149,8 @@ def _rollout_kernel(H, nx, nu, m):
                 g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(bt_lam.dtype)
             # carry: A_k' lam_k
-            return jnp.sum(a_ref[k] * lam_k[:, None, :], axis=0)
-        lam0 = jnp.zeros((nx, LANES), x0_ref.dtype)
+            return jnp.sum(Ak * lam_k[:, None, :], axis=0)
+        lam0 = jnp.zeros((nx, LANES), dt)
         jax.lax.fori_loop(0, H, bwd, lam0, unroll=False)
     return kernel
 
@@ -154,13 +162,13 @@ def _rollout_kernel(H, nx, nu, m):
 def _factor_kernel(H, nx, nu, m):
     def kernel(gg_ref, rmat_ref, qmat_ref, a_ref, b_ref, w_ref,
                l_ref, d_ref, k_ref, pbar_ref):
-        dt = a_ref.dtype
+        dt = rmat_ref.dtype                      # compute dtype (f32)
         pbar_ref[:] = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES), dt)
 
         def bwd(kk, _):
             k = H - 1 - kk
-            Ak = a_ref[k]                          # (nx, nx, L)
-            Bk = b_ref[k]                          # (nx, nu, L)
+            Ak = a_ref[k].astype(dt)               # (nx, nx, L)
+            Bk = b_ref[k].astype(dt)               # (nx, nu, L)
             Pb = pbar_ref[:]                       # (nx, nx, L)
             # R_k = R + reg I + GG @ W_k   (MXU: (nu*nu, m) @ (m, L))
             rk_flat = jax.lax.dot_general(
@@ -203,7 +211,7 @@ def _factor_kernel(H, nx, nu, m):
 def _vector_kernel(H, nx, nu, m):
     def kernel(g_ref, a_ref, b_ref, l_ref, d_ref, k_ref, rx_ref, vm_ref,
                du_ref, gdu_ref, sv_ref):
-        dt = a_ref.dtype
+        dt = l_ref.dtype                         # compute dtype (f32)
         sv_ref[:] = jnp.zeros((nx, LANES), dt)
 
         def bwd(kk, _):
@@ -213,11 +221,13 @@ def _vector_kernel(H, nx, nu, m):
                 g_ref[:], vm_ref[k], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dt)
             rhs_k = -(rx_ref[k] + gt_vm)           # (nu, L)
-            g_u = -rhs_k + jnp.sum(b_ref[k] * sv[:, None, :], axis=0)
+            g_u = -rhs_k + jnp.sum(b_ref[k].astype(dt) * sv[:, None, :],
+                                   axis=0)
             kff = _subst_packed(l_ref[k], d_ref[k], g_u, nu)
             kff_v = jnp.stack(kff)                 # (nu, L)
             Kk = k_ref[k]                          # (nu, nx, L)
-            sv_ref[:] = (jnp.sum(a_ref[k] * sv[:, None, :], axis=0)
+            sv_ref[:] = (jnp.sum(a_ref[k].astype(dt) * sv[:, None, :],
+                                 axis=0)
                          - jnp.sum(Kk * g_u[:, None, :], axis=0))
             du_ref[k] = kff_v                      # stash kff for fwd pass
             return 0
@@ -230,8 +240,8 @@ def _vector_kernel(H, nx, nu, m):
             gdu_ref[k] = jax.lax.dot_general(
                 g_ref[:], du, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dt)
-            return (jnp.sum(a_ref[k] * dx[None, :, :], axis=1)
-                    + jnp.sum(b_ref[k] * du[None, :, :], axis=1))
+            return (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :], axis=1)
+                    + jnp.sum(b_ref[k].astype(dt) * du[None, :, :], axis=1))
         dx0 = jnp.zeros((nx, LANES), dt)
         jax.lax.fori_loop(0, H, fwd, dx0, unroll=False)
     return kernel
@@ -258,7 +268,7 @@ def _rollout_call(G, rmat, qmat, A, B, qlin, u, zm, x0, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
-    dt = A.dtype
+    dt = x0.dtype
     grid = (Bp // LANES,)
     return pl.pallas_call(
         _rollout_kernel(H, nx, nu, m),
@@ -281,7 +291,7 @@ def _factor_call(GG, rmat, qmat, A, B, W, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = W.shape[1]
-    dt = A.dtype
+    dt = rmat.dtype
     grid = (Bp // LANES,)
     return pl.pallas_call(
         _factor_kernel(H, nx, nu, m),
@@ -304,7 +314,7 @@ def _vector_call(G, A, B, L, D, K, rx, vm, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
-    dt = A.dtype
+    dt = L.dtype
     grid = (Bp // LANES,)
     return pl.pallas_call(
         _vector_kernel(H, nx, nu, m),
@@ -361,6 +371,14 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
 
     A_l = to_bl(qp.A)                           # (H, nx, nx, Bp)
     B_l = to_bl(qp.B)                           # (H, nx, nu, Bp)
+    if cfg.stage_bf16:
+        # HBM-traffic optimization (PERF.md roofline: the solve is
+        # HBM-bound and A/B are its dominant stream, re-read by every
+        # kernel pass per iteration): store the stage linearizations at
+        # bf16, cast to f32 inside the kernels.  ~4e-3 relative error on
+        # the DYNAMICS DATA only; all KKT algebra stays f32.
+        A_l = A_l.astype(jnp.bfloat16)
+        B_l = B_l.astype(jnp.bfloat16)
     q_l = to_bl(qp.qlin)                        # (H, nx, Bp)
     mask = to_bl(qp.mask)                       # (H, m, Bp)
     h_l = to_bl(jnp.broadcast_to(qp.h, batch + (Hh, m)))

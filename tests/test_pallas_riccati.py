@@ -121,3 +121,22 @@ def test_fused_batch_over_lane_boundary(rng):
     """B=130 > LANES=128 exercises the multi-block grid + padding."""
     qp = make_problem(rng, B=130, H=3, NX=4, NU=3, M=4)
     _compare(qp, atol=1e-4)
+
+
+def test_fused_stage_bf16_storage(rng):
+    """SolverConfig.stage_bf16 stores the (A, B) stage streams at bf16
+    (HBM-traffic halving, PERF.md roofline) while ALL KKT algebra stays
+    f32: solutions must agree with the f32-storage path to the bf16 data
+    error (~4e-3 relative) and convergence must be unaffected."""
+    import dataclasses
+
+    qp = make_problem(rng, B=4)
+    cfg16 = dataclasses.replace(CFG, reltol=1e-2, abstol=1e-2,
+                                stage_bf16=True)
+    cfg32 = dataclasses.replace(CFG, reltol=1e-2, abstol=1e-2)
+    ref = solve_stage_qp_fused(qp, cfg32)
+    out = solve_stage_qp_fused(qp, cfg16)
+    assert np.asarray(out.converged).all()
+    scale = max(1.0, float(np.abs(np.asarray(ref.u)).max()))
+    rel = np.abs(np.asarray(out.u) - np.asarray(ref.u)).max() / scale
+    assert rel < 2e-2, f"bf16 stage storage deviated {rel}"
