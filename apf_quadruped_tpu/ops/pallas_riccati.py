@@ -501,3 +501,383 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
         converged=scal(conv) & lane_ok, iters=scal(it_conv),
         gap=jnp.nan_to_num(scal(mu), nan=jnp.inf),
         res_norm=jnp.nan_to_num(scal(res), nan=jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident one-kernel IPM: the ENTIRE fixed-iteration Mehrotra loop in
+# a single pallas_call.  Motivation (PERF.md roofline + stage_bf16 probe):
+# the 3-kernel pipeline is HBM-bound on the INTER-KERNEL traffic — L/D/K
+# round-trip HBM between the factor and the two vector passes every
+# iteration, and A/B re-stream 4x per iteration.  Here every per-iteration
+# array lives in VMEM scratch for the whole solve; HBM sees one read of the
+# problem data and one write of the solution per 128-lane block
+# (~10 MB VMEM per block at H=20, well under the 96 MiB limit).
+# ---------------------------------------------------------------------------
+
+def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
+                w_clip, min_slack):
+    """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
+    (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
+    sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze."""
+
+    def kernel(g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref,
+               a_ref, b_ref, qlin_ref, mask_ref, h_ref, x0_ref,
+               u_ref, x_ref, z_ref, s_ref, stat_ref,
+               l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref,
+               kff_ref, gdu_ref, dua_ref, dza_ref, dsa_ref):
+        dt = x0_ref.dtype
+        fone = jnp.ones((LANES,), dt)
+
+        # ---- init: u = 0; s/z from the (pre-masked) h ------------------
+        def init_k(k, mx):
+            u_ref[k] = jnp.zeros((nu, LANES), dt)
+            return jnp.maximum(mx, jnp.max(-h_ref[k], axis=0))
+        r0max = jax.lax.fori_loop(0, H, init_k, jnp.full((LANES,), -jnp.inf,
+                                                         dt))
+        shift = jnp.maximum(0.0, r0max) + 1.0
+
+        def init_sz(k, acc):
+            s_ref[k] = h_ref[k] + shift[None, :]
+            z_ref[k] = jnp.maximum(-h_ref[k], 0.0) + 1.0
+            qn, hn, me = acc
+            qn = qn + jnp.sum(qlin_ref[k] * qlin_ref[k], axis=0)
+            hn = hn + jnp.sum(h_ref[k] * h_ref[k], axis=0)
+            me = me + jnp.sum(mask_ref[k], axis=0)
+            return qn, hn, me
+        qn2, hn2, m_eff = jax.lax.fori_loop(
+            0, H, init_sz, (0.0 * fone, 0.0 * fone, 0.0 * fone))
+        qnorm = 1.0 + jnp.sqrt(qn2)
+        hnorm = 1.0 + jnp.sqrt(hn2)
+        m_eff = jnp.maximum(m_eff, 1.0)
+
+        # ---- shared passes --------------------------------------------
+        def rollout_residuals():
+            """fwd rollout -> x_ref; bwd costates -> rx_ref, gu_ref,
+            rz_ref, w_ref; returns (mu, res) per lane."""
+            def fwd(k, x):
+                Ak = a_ref[k].astype(dt)
+                Bk = b_ref[k].astype(dt)
+                xn = (jnp.sum(Ak * x[None, :, :], axis=1)
+                      + jnp.sum(Bk * u_ref[k][None, :, :], axis=1))
+                x_ref[k] = xn
+                return xn
+            jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
+
+            def bwd(kk, carry):
+                lam, rx2, rz2, sz = carry
+                k = H - 1 - kk
+                Ak = a_ref[k].astype(dt)
+                Bk = b_ref[k].astype(dt)
+                mk = mask_ref[k]
+                zk = z_ref[k]
+                sk = s_ref[k]
+                qx = jnp.sum(qmat_ref[:][:, :, None] * x_ref[k][None, :, :],
+                             axis=1)
+                lam_k = qx + qlin_ref[k] + lam
+                bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
+                gt_zm = jax.lax.dot_general(
+                    g_ref[:], mk * zk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+                ru = jnp.sum(rmatr_ref[:][:, :, None] * u_ref[k][None, :, :],
+                             axis=1)
+                rxk = ru + bt_lam + gt_zm
+                rx_ref[k] = rxk
+                guk = jax.lax.dot_general(
+                    g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+                gu_ref[k] = guk
+                rzk = mk * guk + sk - h_ref[k]
+                rz_ref[k] = rzk
+                w_ref[k] = mk * jnp.clip(
+                    jnp.maximum(zk, min_slack) / jnp.maximum(sk, min_slack),
+                    0.0, w_clip)
+                rx2 = rx2 + jnp.sum(rxk * rxk, axis=0)
+                rz2 = rz2 + jnp.sum((rzk * mk) ** 2, axis=0)
+                sz = sz + jnp.sum(sk * zk * mk, axis=0)
+                return (jnp.sum(Ak * lam_k[:, None, :], axis=0),
+                        rx2, rz2, sz)
+            lam0 = jnp.zeros((nx, LANES), dt)
+            _, rx2, rz2, sz = jax.lax.fori_loop(
+                0, H, bwd, (lam0, 0.0 * fone, 0.0 * fone, 0.0 * fone),
+                unroll=False)
+            mu = sz / m_eff
+            res = jnp.maximum(jnp.sqrt(rx2) / qnorm, jnp.sqrt(rz2) / hnorm)
+            return mu, res
+
+        def factor():
+            """Riccati backward matrix pass -> l_ref, d_ref, k_ref."""
+            def bwd(kk, Pb):
+                k = H - 1 - kk
+                Ak = a_ref[k].astype(dt)
+                Bk = b_ref[k].astype(dt)
+                rk_flat = jax.lax.dot_general(
+                    gg_ref[:], w_ref[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+                Rk = rk_flat.reshape(nu, nu, LANES) + rmatf_ref[:][:, :, None]
+                BtP = sum(Bk[i][:, None, :] * Pb[i][None, :, :]
+                          for i in range(nx))
+                Mk = Rk + sum(BtP[:, xx, :][:, None, :] * Bk[xx][None, :, :]
+                              for xx in range(nx))
+                L, dinv = _chol_rows(Mk, nu)
+                BtPA = sum(BtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+                           for xx in range(nx))
+                Kk = _subst_rows(L, dinv, [BtPA[i] for i in range(nu)], nu)
+                AtP = sum(Ak[i][:, None, :] * Pb[i][None, :, :]
+                          for i in range(nx))
+                Pn = (qmat_ref[:][:, :, None]
+                      + sum(AtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+                            for xx in range(nx))
+                      - sum(jnp.stack(Kk)[uu][:, None, :]
+                            * BtPA[uu][None, :, :] for uu in range(nu)))
+                Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+                l_ref[k] = jnp.stack([jnp.stack(
+                    [L[i][j] if j <= i else jnp.zeros((LANES,), dt)
+                     for j in range(nu)]) for i in range(nu)])
+                d_ref[k] = jnp.stack(dinv)
+                k_ref[k] = jnp.stack(Kk)
+                return Pn
+            P0 = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES), dt)
+            jax.lax.fori_loop(0, H, bwd, P0, unroll=False)
+
+        def vector_pass(rc_of_k, du_out, dz_out, ds_out):
+            """Affine-LQR solve for rhs built from rc_of_k(k) (a function
+            returning the (m, LANES) complementarity rhs at knot k);
+            writes du/dz/ds and returns the per-lane steplen ratio mins
+            (ratio_s, ratio_z)."""
+            def bwd(kk, sv):
+                k = H - 1 - kk
+                rck = rc_of_k(k)
+                s_safe = jnp.maximum(s_ref[k], min_slack)
+                vmk = mask_ref[k] * (w_ref[k] * rz_ref[k] + rck / s_safe)
+                gt_vm = jax.lax.dot_general(
+                    g_ref[:], vmk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+                rhs_k = -(rx_ref[k] + gt_vm)
+                g_u = -rhs_k + jnp.sum(b_ref[k].astype(dt)
+                                       * sv[:, None, :], axis=0)
+                kff = _subst_packed(l_ref[k], d_ref[k], g_u, nu)
+                kff_ref[k] = jnp.stack(kff)
+                return (jnp.sum(a_ref[k].astype(dt) * sv[:, None, :],
+                                axis=0)
+                        - jnp.sum(k_ref[k] * g_u[:, None, :], axis=0))
+            jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx, LANES), dt),
+                              unroll=False)
+
+            def fwd(k, carry):
+                dx, rs, rz_ = carry
+                du = (-jnp.sum(k_ref[k] * dx[None, :, :], axis=1)
+                      - kff_ref[k])
+                du_out[k] = du
+                gduk = jax.lax.dot_general(
+                    g_ref[:], du, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt)
+                rck = rc_of_k(k)
+                s_safe = jnp.maximum(s_ref[k], min_slack)
+                dsk = -rz_ref[k] - mask_ref[k] * gduk
+                dzk = (rck - z_ref[k] * dsk) / s_safe
+                ds_out[k] = dsk
+                dz_out[k] = dzk
+                mk = mask_ref[k]
+
+                def ratio(v, dv, cur):
+                    neg = (dv < 0) & (mk > 0)
+                    r = jnp.where(neg,
+                                  -v / jnp.where(neg, dv,
+                                                 -jnp.ones_like(dv)),
+                                  jnp.inf)
+                    return jnp.minimum(cur, jnp.min(r, axis=0))
+                rs = ratio(s_ref[k], dsk, rs)
+                rz_ = ratio(z_ref[k], dzk, rz_)
+                return (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :],
+                                axis=1)
+                        + jnp.sum(b_ref[k].astype(dt) * du[None, :, :],
+                                  axis=1), rs, rz_)
+            dx0 = jnp.zeros((nx, LANES), dt)
+            inf0 = jnp.full((LANES,), jnp.inf, dt)
+            _, rs, rz_ = jax.lax.fori_loop(0, H, fwd, (dx0, inf0, inf0),
+                                           unroll=False)
+            return rs, rz_
+
+        # ---- IPM iterations -------------------------------------------
+        def body(it, carry):
+            done, it_conv = carry
+            mu, res = rollout_residuals()
+            now = (res < reltol) & (mu < abstol)
+            it_conv = jnp.where(now & ~done, it, it_conv)
+            done = done | now
+
+            factor()
+
+            # predictor: rc = -s z  =>  rc/s_safe = -z (s>=min_slack)
+            rs, rzr = vector_pass(lambda k: -s_ref[k] * z_ref[k],
+                                  dua_ref, dza_ref, dsa_ref)
+            a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
+
+            def acc_mu(k, acc):
+                return acc + jnp.sum(
+                    (s_ref[k] + a_a[None, :] * dsa_ref[k])
+                    * (z_ref[k] + a_a[None, :] * dza_ref[k])
+                    * mask_ref[k], axis=0)
+            mu_aff = jax.lax.fori_loop(0, H, acc_mu, 0.0 * fone) / m_eff
+            sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
+                             0.0, 1.0) ** sigma_pow
+            sig_mu = sigma * mu
+
+            def rc_corr(k):
+                return -(s_ref[k] * z_ref[k] + dsa_ref[k] * dza_ref[k]
+                         - sig_mu[None, :])
+            # corrector overwrites the predictor direction scratch
+            rs, rzr = vector_pass(rc_corr, dua_ref, dza_ref, dsa_ref)
+            a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
+            a = jnp.where(done, 0.0, a)
+
+            def upd(k, _):
+                u_ref[k] = u_ref[k] + a[None, :] * dua_ref[k]
+                z_ref[k] = jnp.maximum(z_ref[k] + a[None, :] * dza_ref[k],
+                                       min_slack)
+                s_ref[k] = jnp.maximum(s_ref[k] + a[None, :] * dsa_ref[k],
+                                       min_slack)
+                return 0
+            jax.lax.fori_loop(0, H, upd, 0)
+            return done, it_conv
+
+        done0 = fone < 0.0
+        it0 = jnp.full((LANES,), iters, jnp.int32)
+        done, it_conv = jax.lax.fori_loop(0, iters, body, (done0, it0))
+
+        # final residuals + flags
+        mu, res = rollout_residuals()
+        conv = done | ((res < reltol) & (mu < abstol))
+        stat_ref[0] = conv.astype(dt)
+        stat_ref[1] = it_conv.astype(dt)
+        stat_ref[2] = mu
+        stat_ref[3] = res
+        for i in range(4, 8):
+            stat_ref[i] = jnp.zeros((LANES,), dt)
+    return kernel
+
+
+def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
+              interpret):
+    H, nx, _, Bp = A.shape
+    nu = B.shape[2]
+    m = G.shape[0]
+    dt = x0.dtype
+    grid = (Bp // LANES,)
+    kern = _ipm_kernel(H, nx, nu, m, int(cfg.iters), float(cfg.reltol),
+                       float(cfg.abstol), float(cfg.sigma_pow),
+                       float(cfg.frac_to_boundary), float(cfg.w_clip),
+                       float(cfg.min_slack))
+    scratch = [
+        pltpu.VMEM((H, nu, nu, LANES), dt),   # l
+        pltpu.VMEM((H, nu, LANES), dt),       # d
+        pltpu.VMEM((H, nu, nx, LANES), dt),   # k
+        pltpu.VMEM((H, nu, LANES), dt),       # rx
+        pltpu.VMEM((H, m, LANES), dt),        # gu
+        pltpu.VMEM((H, m, LANES), dt),        # rz
+        pltpu.VMEM((H, m, LANES), dt),        # w
+        pltpu.VMEM((H, nu, LANES), dt),       # kff
+        pltpu.VMEM((H, m, LANES), dt),        # gdu (unused slot kept small)
+        pltpu.VMEM((H, nu, LANES), dt),       # dua
+        pltpu.VMEM((H, m, LANES), dt),        # dza
+        pltpu.VMEM((H, m, LANES), dt),        # dsa
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[_cspec(G.shape), _cspec(GG.shape), _cspec(rmatf.shape),
+                  _cspec(rmatr.shape), _cspec(qmat.shape),
+                  _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
+                  _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
+                  _vspec((H, m, LANES)), _vspec((nx, LANES))],
+        out_specs=[_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
+                   _vspec((H, m, LANES)), _vspec((H, m, LANES)),
+                   _vspec((8, LANES))],
+        out_shape=[jax.ShapeDtypeStruct((H, nu, Bp), dt),
+                   jax.ShapeDtypeStruct((H, nx, Bp), dt),
+                   jax.ShapeDtypeStruct((H, m, Bp), dt),
+                   jax.ShapeDtypeStruct((H, m, Bp), dt),
+                   jax.ShapeDtypeStruct((8, Bp), dt)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
+                            interpret: bool | None = None) -> StageSolution:
+    """One-kernel VMEM-resident variant of solve_stage_qp_fused: the whole
+    fixed-iteration Mehrotra loop runs inside a single pallas_call, so
+    problem data is read from HBM once per 128-lane block and no
+    per-iteration array ever leaves VMEM.  Same algorithm, same outputs
+    (validated against the scan and 3-kernel paths in
+    tests/test_pallas_riccati.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with jax.default_matmul_precision("highest"):
+        return _solve_resident_impl(qp, cfg, interpret)
+
+
+def _solve_resident_impl(qp: StageQP, cfg: SolverConfig,
+                         interpret: bool) -> StageSolution:
+    dt = qp.x0.dtype
+    batch = qp.x0.shape[:-1]
+    B = int(np.prod(batch)) if batch else 1
+    Hh = qp.A.shape[-3]
+    nx = qp.A.shape[-1]
+    nu = qp.B.shape[-1]
+    m = qp.h.shape[-1]
+    Bp = ((B + LANES - 1) // LANES) * LANES
+
+    def to_bl(x):
+        x = x.reshape((B,) + x.shape[len(batch):])
+        x = jnp.moveaxis(x, 0, -1)
+        if Bp != B:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)]
+            x = jnp.pad(x, pad)
+        return x
+
+    A_l = to_bl(qp.A)
+    B_l = to_bl(qp.B)
+    if cfg.stage_bf16:
+        A_l = A_l.astype(jnp.bfloat16)
+        B_l = B_l.astype(jnp.bfloat16)
+    q_l = to_bl(qp.qlin)
+    mask = to_bl(qp.mask)
+    h_l = to_bl(jnp.broadcast_to(qp.h, batch + (Hh, m)))
+    h_l = jnp.where(mask > 0, h_l, jnp.ones_like(h_l))
+    x0_l = to_bl(qp.x0[..., None, :])[0]
+
+    G = qp.G.astype(dt)
+    GG = jnp.einsum("mi,mj->ijm", G, G).reshape(nu * nu, m)
+    reg = jnp.asarray(cfg.static_reg, dt)
+    rmatf = qp.R.astype(dt) + reg * jnp.eye(nu, dtype=dt)
+    rmatr = qp.R.astype(dt)
+    qmat = qp.Q.astype(dt)
+
+    u, x, z, s, stat = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat,
+                                 A_l, B_l, q_l, mask, h_l, x0_l, interpret)
+
+    def to_bf(v):
+        v = jnp.moveaxis(v[..., :B], -1, 0)
+        return v.reshape(batch + v.shape[1:])
+
+    u_bf = to_bf(u)
+    x_bf = to_bf(x)
+    lane_ok = (jnp.all(jnp.isfinite(u_bf), axis=(-1, -2))
+               & jnp.all(jnp.isfinite(x_bf), axis=(-1, -2)))
+    fix = lambda v: jnp.where(lane_ok[..., None, None], jnp.nan_to_num(v),
+                              0.0)
+
+    def scal(v):
+        v = v[:B]
+        return v.reshape(batch) if batch else v[0]
+
+    conv = scal(stat[0]) > 0.5
+    return StageSolution(
+        u=fix(u_bf), x=fix(x_bf), z=fix(to_bf(z)), s=fix(to_bf(s)),
+        converged=conv & lane_ok,
+        iters=scal(stat[1]).astype(jnp.int32),
+        gap=jnp.nan_to_num(scal(stat[2]), nan=jnp.inf),
+        res_norm=jnp.nan_to_num(scal(stat[3]), nan=jnp.inf))

@@ -196,7 +196,7 @@ def _plan_impl(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     elif backend == "auto":
         backend = ("riccati_fused" if jax.default_backend() == "tpu"
                    else "riccati")
-    if backend in ("riccati", "riccati_fused"):
+    if backend in ("riccati", "riccati_fused", "riccati_resident"):
         return _plan_riccati(cfg, state0, refs, backend)
     return _plan_condensed(cfg, state0, refs)
 
@@ -276,6 +276,9 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
         if backend == "riccati_fused":
             from .ops.pallas_riccati import solve_stage_qp_fused
             return solve_stage_qp_fused(qp, cfg.solver)
+        if backend == "riccati_resident":
+            from .ops.pallas_riccati import solve_stage_qp_resident
+            return solve_stage_qp_resident(qp, cfg.solver)
         return solve_stage_qp(qp, cfg.solver)
 
     sol = solve(A, B)

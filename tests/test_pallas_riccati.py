@@ -140,3 +140,41 @@ def test_fused_stage_bf16_storage(rng):
     scale = max(1.0, float(np.abs(np.asarray(ref.u)).max()))
     rel = np.abs(np.asarray(out.u) - np.asarray(ref.u)).max() / scale
     assert rel < 2e-2, f"bf16 stage storage deviated {rel}"
+
+
+def test_resident_matches_scan(rng):
+    """The one-kernel VMEM-resident IPM (solve_stage_qp_resident) must
+    reproduce the scan reference exactly: same iteration counts, same
+    solution to f32 roundoff."""
+    from apf_quadruped_tpu.ops.pallas_riccati import solve_stage_qp_resident
+
+    qp = make_problem(rng, B=4)
+    ref = solve_stage_qp(qp, CFG)
+    out = solve_stage_qp_resident(qp, CFG)
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_array_equal(np.asarray(out.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=5e-5)
+
+
+def test_resident_masks_and_quarantine(rng):
+    """Masked rows stay inert and a poisoned lane is contained, matching
+    the 3-kernel fused path's guarantees."""
+    from apf_quadruped_tpu.ops.pallas_riccati import solve_stage_qp_resident
+
+    qp = make_problem(rng, B=4, mask_frac=0.5)
+    ref = solve_stage_qp(qp, CFG)
+    out = solve_stage_qp_resident(qp, CFG)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=5e-5)
+    x0 = qp.x0.at[2, 1].set(jnp.nan)
+    bad = solve_stage_qp_resident(qp._replace(x0=x0), CFG)
+    assert np.all(np.isfinite(np.asarray(bad.u)))
+    assert not bool(bad.converged[2])
+    for b in (0, 1, 3):
+        np.testing.assert_allclose(np.asarray(bad.u[b]),
+                                   np.asarray(ref.u[b]), atol=5e-5)
