@@ -699,11 +699,17 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
             return rs, rz_
 
         # ---- IPM iterations -------------------------------------------
+        # NOTE: the loop carry must be f32 vectors — Mosaic cannot
+        # legalize scf.for with vector<i1>/vector<i32> iter_args (observed
+        # on v5e), so done/it_conv ride as floats and are compared/cast
+        # at the use sites.
         def body(it, carry):
-            done, it_conv = carry
+            done_f, it_conv = carry
+            done = done_f > 0.5
             mu, res = rollout_residuals()
             now = (res < reltol) & (mu < abstol)
-            it_conv = jnp.where(now & ~done, it, it_conv)
+            it_conv = jnp.where(now & ~done, it.astype(dt) + 0.0 * fone,
+                                it_conv)
             done = done | now
 
             factor()
@@ -739,11 +745,12 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                                        min_slack)
                 return 0
             jax.lax.fori_loop(0, H, upd, 0)
-            return done, it_conv
+            return done.astype(dt), it_conv
 
-        done0 = fone < 0.0
-        it0 = jnp.full((LANES,), iters, jnp.int32)
-        done, it_conv = jax.lax.fori_loop(0, iters, body, (done0, it0))
+        done0 = jnp.zeros((LANES,), dt)
+        it0 = jnp.full((LANES,), iters, dt)
+        done_f, it_conv = jax.lax.fori_loop(0, iters, body, (done0, it0))
+        done = done_f > 0.5
 
         # final residuals + flags
         mu, res = rollout_residuals()

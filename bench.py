@@ -40,10 +40,13 @@ def main():
     from apf_quadruped_tpu.models.dogbot import nominal_stance
     from apf_quadruped_tpu import gait
 
-    cfg = EngineConfig(
-        mpc=MpcConfig(horizon=20, dt=0.025),
-        solver=SolverConfig(iters=12, reltol=1e-2, abstol=1e-2,
-                            static_reg=1e-6, eq_reg=1e-6, w_clip=1e6))
+    # THE production solver config: SolverConfig() defaults (iters=15,
+    # reltol=abstol=1e-2 — the reference's own runtime tolerance,
+    # main.cpp:1651-1652).  bench.py, wbc_latency.py, backend_sweep.py,
+    # f32_health.py and the CLI all use the same defaults so every
+    # artifact speaks about one config.
+    cfg = EngineConfig(mpc=MpcConfig(horizon=20, dt=0.025),
+                       solver=SolverConfig())
     dtype = jnp.float32
     # batch 2048 on the fused Pallas backend (the old scan backend hit an
     # XLA batched-small-matmul pathology past B=128; the fused kernels

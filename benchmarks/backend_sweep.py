@@ -52,10 +52,11 @@ def build_inputs(cfg, B, dtype):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backends", default="riccati,riccati_fused")
+    ap.add_argument("--backends",
+                    default="riccati,riccati_fused,riccati_resident")
     ap.add_argument("--batches", default="128,256,512,1024")
     ap.add_argument("--horizon", type=int, default=20)
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
@@ -75,12 +76,12 @@ def main():
 
     for backend in args.backends.split(","):
         for B in map(int, args.batches.split(",")):
+            # production SolverConfig() defaults, --iters only (default =
+            # the SolverConfig default so all artifacts share one config)
             cfg = EngineConfig(
                 mpc=MpcConfig(horizon=args.horizon, dt=0.025,
                               backend=backend),
-                solver=SolverConfig(iters=args.iters, reltol=1e-2,
-                                    abstol=1e-2, static_reg=1e-6,
-                                    eq_reg=1e-6, w_clip=1e6))
+                solver=SolverConfig(iters=args.iters))
             x0, refs = build_inputs(cfg, B, jnp.float32)
             f = jax.jit(lambda x0, refs: planner.plan(cfg, x0, refs))
             t0 = time.perf_counter()

@@ -42,12 +42,12 @@ def main():
     from apf_quadruped_tpu.runtime import loop
     from apf_quadruped_tpu.sim import disturbance, terrain
 
-    # production f32 settings: same solver knobs as tests/test_loop.py CFG
-    # (iters=20, tight tol so converged lanes freeze) but dtype=f32 and the
-    # device backend — exactly what a deployment would run
-    cfg = EngineConfig(
-        solver=SolverConfig(iters=20, reltol=1e-4, abstol=1e-3),
-        wbc=WbcConfig(slack_weight_trot=1e6))
+    # THE production config: SolverConfig() defaults (iters=15,
+    # reltol=abstol=1e-2 — the reference's own runtime tolerance), dtype
+    # f32, device backend — exactly what a deployment runs and the same
+    # config as tests/test_loop.py, bench.py and wbc_latency.py
+    cfg = EngineConfig(solver=SolverConfig(),
+                       wbc=WbcConfig(slack_weight_trot=1e6))
     dt = jnp.float32
     platform = jax.devices()[0].platform
     rows = []
@@ -72,7 +72,7 @@ def main():
             "rob_mean": round(float(m.rob_mean[-1]), 4),
         }
         row["healthy"] = bool(
-            row["qp_converged"] > 0.6 and row["mpc_converged"]
+            row["qp_converged"] > 0.9 and row["mpc_converged"]
             and row["track_err_m"] < 0.03 and row["upright"] > 0.98
             and row["com_y_end"] > 0.10 and row["tau_max"] <= 60.0 + 1e-4)
         rows.append(row)
@@ -105,7 +105,7 @@ def main():
         "com_y_end": round(float(m.com[-1, 1]), 4),
     }
     row["healthy"] = bool(
-        row["qp_converged"] > 0.6 and row["mpc_converged"]
+        row["qp_converged"] > 0.9 and row["mpc_converged"]
         and row["engaged_crawl"] and row["recovered_trot"]
         and row["upright"] > 0.95 and row["com_y_end"] > 0.01)
     rows.append(row)

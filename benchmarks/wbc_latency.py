@@ -40,7 +40,9 @@ def main():
     from apf_quadruped_tpu.models import rbd
     from apf_quadruped_tpu.sim import physics
 
-    cfg = EngineConfig(solver=SolverConfig(iters=10))
+    # THE production config: SolverConfig() defaults (iters=15,
+    # reltol=abstol=1e-2), same as bench.py / backend_sweep / f32_health
+    cfg = EngineConfig(solver=SolverConfig())
     dtype = jnp.float32
     rng = np.random.default_rng(0)
 

@@ -13,11 +13,13 @@ from apf_quadruped_tpu.config import EngineConfig, SolverConfig, WbcConfig
 from apf_quadruped_tpu.runtime import loop
 from apf_quadruped_tpu.sim import disturbance, terrain
 
-# tight tolerances keep refining until iteration budget (converged lanes
-# freeze, so looser settings actually degrade tracking); the `converged`
-# flag under-reports with the f32-safe w_clip=1e6 — health asserts below
-# use thresholds calibrated to that
-CFG = EngineConfig(solver=SolverConfig(iters=20, reltol=1e-4, abstol=1e-3),
+# THE production config: SolverConfig() defaults (iters=15,
+# reltol=abstol=1e-2 — the reference's own runtime tolerance,
+# main.cpp:1651-1652), shared with bench.py / wbc_latency / f32_health.
+# Measured closed-loop health at this config: qp_converged 0.97 in BOTH
+# f32 and f64 (the residual ~3% are genuine contact-transition ticks at
+# the iteration budget, not a precision floor — identical across dtypes).
+CFG = EngineConfig(solver=SolverConfig(),
                    wbc=WbcConfig(slack_weight_trot=1e6))
 DT = jnp.float64
 
@@ -48,7 +50,7 @@ def test_stays_upright_and_at_height(walk_result):
 def test_solvers_healthy(walk_result):
     st2, m = walk_result
     assert m.mpc_converged.all()
-    assert m.qp_converged.mean() > 0.6
+    assert m.qp_converged.mean() > 0.9
     assert (m.tau_max <= 60.0 + 1e-6).all()
 
 

@@ -1,0 +1,25 @@
+"""Opt-in multi-process (multi-host analogue) execution test.
+
+Runs benchmarks/multihost.py: a real 2-process jax.distributed group over
+a global 8-device mesh, asserting stat parity with a single-process run
+(SURVEY.md §5.8; artifact MULTIHOST.md).  Skipped by default — it spawns
+3 JAX processes and takes ~2 min; enable with APF_MULTIHOST=1.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.environ.get("APF_MULTIHOST"),
+                    reason="set APF_MULTIHOST=1 to run the 2-process group")
+def test_multihost_parity():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "multihost.py")],
+        capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert '"multihost_parity", "value": 1.0' in r.stdout
