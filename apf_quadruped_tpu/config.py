@@ -82,6 +82,13 @@ class GaitConfig:
     mode: str = "trot"
     control_dt: float = 0.0025                 # 400 Hz tracking (main.cpp:1107)
     plan_dt: float = 0.025                     # MPC discretization (10 knots / 0.25 s phase)
+    # early touch-down handling (main.cpp:2027-2028, 3249-3264): a swing
+    # foot that makes MEASURED contact within the last early_td_window
+    # seconds of its swing phase freezes its swing ref at the contact
+    # point and is treated as stance by the WBC until its scheduled
+    # stance begins — per-leg data (jnp.where), never a shape change
+    early_td: bool = True
+    early_td_window: float = 0.05              # t > dur - 0.05 (main.cpp:2027)
 
 
 @dataclasses.dataclass(frozen=True)

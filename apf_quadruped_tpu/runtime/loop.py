@@ -67,6 +67,9 @@ class CycleMetrics(NamedTuple):
     slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
     tau_max: jnp.ndarray      # () peak |tau| over the cycle
     track_err: jnp.ndarray    # () mean CoM tracking error during cycle
+    # () mean fraction of (leg, tick) pairs in the early-touch-down
+    # latched state (swing cut short on measured contact)
+    early_td_frac: jnp.ndarray
 
 
 def _phase_gait_flag(cycle_idx):
@@ -171,7 +174,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     states_knots = jnp.concatenate([x0[None], plan.states], axis=0)
 
     def tick(carry, k):
-        sim_st, ast = carry
+        sim_st, ast, td_flag, td_pos, prev_contact = carry
         t = k.astype(dtype) * cfg.sim.dt
         info = gait.phase_info(gait_flag, t, cycle, dtype=dtype)
         contact = info["contact"]
@@ -181,6 +184,27 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         tau_ph = (t - info["t_start"]) / dur
         sw_pos, sw_vel, sw_acc = swing.swing_ref(
             liftoff_feet, step_targets3, cfg.mpc.swing_height, tau_ph, dur)
+
+        if cfg.gait.early_td:
+            # early touch-down (reference main.cpp:2027-2028, 3249-3264:
+            # contact && t > dur - 0.05 -> flag_exit cuts the swing
+            # short).  Per-leg data, not shapes: a swing foot with
+            # MEASURED contact (previous physics step) inside the last
+            # early_td_window of its swing phase latches td_flag — its
+            # swing ref freezes at the touch-down point and the WBC
+            # treats it as stance until its scheduled stance begins.
+            near_end = t > info["t_end"] - cfg.gait.early_td_window
+            is_swing = contact < 0.5
+            touched = prev_contact & is_swing & near_end
+            feet_now = rbd.foot_positions_world(
+                robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
+            newly = touched & ~td_flag
+            td_pos = jnp.where(newly[:, None], feet_now, td_pos)
+            td_flag = (td_flag | touched) & is_swing
+            sw_pos = jnp.where(td_flag[:, None], td_pos, sw_pos)
+            sw_vel = jnp.where(td_flag[:, None], 0.0, sw_vel)
+            sw_acc = jnp.where(td_flag[:, None], 0.0, sw_acc)
+            contact = jnp.maximum(contact, td_flag.astype(dtype))
 
         # MPC refs: first-order hold between knots for the state, zero-
         # order hold for forces (u_k is constant over its interval)
@@ -202,8 +226,9 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
                            crawl=crawling)
         out = wbc.solve(cfg, wst, ref)
 
-        fd = disturbance.eval_at(dist_sched, sim_st.t)
-        sim_st, cinfo = physics.step(cfg, sim_st, out.tau, terr, f_dist=fd)
+        fd, ff = disturbance.eval_links(dist_sched, sim_st.t)
+        sim_st, cinfo = physics.step(cfg, sim_st, out.tau, terr, f_dist=fd,
+                                     f_feet=ff)
 
         # robustness margin accumulation from MEASURED contact forces
         # (the reference integrates bumper-sensor forces, main.cpp:1536)
@@ -213,11 +238,15 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         com_now = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb,
                                    sim_st.q)
         track_err = jnp.linalg.norm(com_now - xk[3:6])
-        return (sim_st, ast), (out.sol.converged, cinfo.slipping.any(),
-                               jnp.abs(out.tau).max(), track_err)
+        return ((sim_st, ast, td_flag, td_pos, cinfo.in_contact),
+                (out.sol.converged, cinfo.slipping.any(),
+                 jnp.abs(out.tau).max(), track_err,
+                 jnp.mean(td_flag.astype(dtype))))
 
-    (sim_st, ast), (conv, slip, taumax, terr_track) = jax.lax.scan(
-        tick, (st.sim, ast), jnp.arange(n_ticks))
+    carry0 = (st.sim, ast, jnp.zeros(4, bool), liftoff_feet,
+              jnp.zeros(4, bool))
+    (sim_st, ast, _, _, _), (conv, slip, taumax, terr_track, td_frac) = (
+        jax.lax.scan(tick, carry0, jnp.arange(n_ticks)))
 
     com_end = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
     metrics = CycleMetrics(
@@ -230,7 +259,8 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         crawling=crawling,
         slip_ticks=jnp.mean(slip.astype(dtype)),
         tau_max=jnp.max(taumax),
-        track_err=jnp.mean(terr_track))
+        track_err=jnp.mean(terr_track),
+        early_td_frac=jnp.mean(td_frac))
     return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,
                      crawling=crawling), metrics
 

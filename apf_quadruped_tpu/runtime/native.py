@@ -88,7 +88,9 @@ def disturbances(batch: int, n_events: int, horizon_s: float,
                                    dur, seed)
     if rc != 0:
         raise RuntimeError(f"generate_disturbances failed rc={rc}")
-    return out
+    # append the application-link column (0 = base) to match the
+    # (n_events, 8) schedule layout of sim.disturbance
+    return np.concatenate([out, np.zeros_like(out[..., :1])], axis=-1)
 
 
 def targets(batch: int, seed: int = 0) -> np.ndarray:

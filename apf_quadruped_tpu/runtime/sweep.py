@@ -28,7 +28,7 @@ class Scenario(NamedTuple):
 
     mu_map: jnp.ndarray       # (res, res)
     target_xy: jnp.ndarray    # (2,)
-    dist_sched: jnp.ndarray   # (n_events, 7)
+    dist_sched: jnp.ndarray   # (n_events, 8) — sim.disturbance rows
     spawn_xy: jnp.ndarray     # (2,)
     spawn_yaw: jnp.ndarray    # ()
 

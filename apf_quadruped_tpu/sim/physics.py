@@ -102,12 +102,16 @@ def contact_forces(cfg: EngineConfig, st: SimState,
 
 def step(cfg: EngineConfig, st: SimState, tau: jnp.ndarray,
          terr: terrain_mod.Terrain,
-         f_dist: jnp.ndarray | None = None) -> tuple[SimState, ContactInfo]:
+         f_dist: jnp.ndarray | None = None,
+         f_feet: jnp.ndarray | None = None) -> tuple[SimState, ContactInfo]:
     """One control-rate step = cfg.sim.substeps semi-implicit substeps.
 
     tau (12,) joint torques (held over the step, like the effort controller
     at 1 kHz, dogbot_controllers.yaml); f_dist (3,) optional external force
-    at the base (the force_plugin role).
+    at the base; f_feet (4,3) optional external forces at the feet applied
+    through the contact Jacobian, J_c' f — the full wrench including the
+    lever-arm torque (the force_plugin leg-link pushes,
+    force_plugin.cpp:130-189 AddForceAtRelativePosition on leg links).
     """
     s = cfg.sim
     dt = s.dt / s.substeps
@@ -119,7 +123,10 @@ def step(cfg: EngineConfig, st: SimState, tau: jnp.ndarray,
         M = rbd.mass_matrix(cfg.robot, st.R_wb, st.q)
         h = rbd.bias_forces(cfg.robot, st.p_base, st.R_wb, st.q, st.u)
         Jc = rbd.contact_jacobian_mixed(cfg.robot, st.p_base, st.R_wb, st.q)
-        gen = (-h + Jc.T @ info.forces.reshape(12))
+        f_ext = info.forces
+        if f_feet is not None:
+            f_ext = f_ext + f_feet
+        gen = (-h + Jc.T @ f_ext.reshape(12))
         gen = gen.at[6:18].add(tau)
         gen = gen.at[0:3].add(f_dist)
         du = jnp.linalg.solve(M, gen)
