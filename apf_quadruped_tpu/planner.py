@@ -166,16 +166,21 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     state0: (.., NX) packed SRB state (srb.pack_state).
     refs: contact schedule, foothold schedule, state references.
 
-    Three interchangeable solver backends (MpcConfig.backend):
-      * "riccati_fused": the banded-LQR interior point with every
-        per-iteration pass fused into one batch-on-lanes Pallas kernel
-        (ops.pallas_riccati) — the production TPU path (35k solves/s/chip
-        at H=20, B=1024 on v5e vs 2k for the scan path)
+    Four interchangeable solver backends (MpcConfig.backend):
+      * "riccati_resident": the banded-LQR interior point as ONE
+        VMEM-resident Pallas kernel per solve — factor, predictor and
+        corrector vector passes share L/D/K in VMEM (ops.pallas_riccati).
+        The production TPU path: measured fastest at every batch size
+        (35.1k solves/s/chip at H=20, B=1024 on v5e, PERF.md r3 sweep)
+      * "riccati_fused": the same IPM with each per-iteration PASS fused
+        into its own batch-on-lanes Pallas kernel; L/D/K round-trip HBM
+        between kernels (~1-3% slower than resident, kept as the
+        cross-check for the resident kernel)
       * "riccati": the same IPM as ~7 lax.scans per iteration —
         O(H NX^3) per iteration (ops.riccati); the CPU/debug path
       * "condensed": dense QP in stacked forces via ops.qpsolve —
         O((12H)^3) per iteration; retained for cross-validation
-    "auto" (the default) resolves at trace time: fused on TPU, scan
+    "auto" (the default) resolves at trace time: resident on TPU, scan
     elsewhere (interpret-mode Pallas is correct but slow off-TPU).
     """
     # highest matmul precision for the WHOLE plan, not just the IPM: the
@@ -194,7 +199,7 @@ def _plan_impl(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
         # Riccati stage structure has no state-inequality support
         backend = "condensed"
     elif backend == "auto":
-        backend = ("riccati_fused" if jax.default_backend() == "tpu"
+        backend = ("riccati_resident" if jax.default_backend() == "tpu"
                    else "riccati")
     if backend in ("riccati", "riccati_fused", "riccati_resident"):
         return _plan_riccati(cfg, state0, refs, backend)

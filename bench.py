@@ -7,9 +7,11 @@ vs_baseline is value / 10_000 — the BASELINE.json north-star rate
 Each "solve" is a full planner.plan: per-knot SRB linearization and the
 batched Riccati interior-point solve with friction-pyramid constraints
 (the role IPOPT+TOWR fills in the reference with a 20 s budget and the
-sim paused, topt.cpp:97 / main.cpp:1250), running the fused batch-on-lanes
-Pallas backend (ops/pallas_riccati.py).  Backend x batch exploration lives
-in benchmarks/backend_sweep.py; see PERF.md for the recorded sweep.
+sim paused, topt.cpp:97 / main.cpp:1250), running the VMEM-resident
+one-kernel Pallas backend (ops/pallas_riccati.py::solve_stage_qp_resident
+— the measured winner of the r3 device sweep; "auto" resolves to it on
+TPU).  Backend x batch exploration lives in benchmarks/backend_sweep.py;
+see PERF.md for the recorded sweep.
 """
 
 import json
@@ -48,10 +50,9 @@ def main():
     cfg = EngineConfig(mpc=MpcConfig(horizon=20, dt=0.025),
                        solver=SolverConfig())
     dtype = jnp.float32
-    # batch 2048 on the fused Pallas backend (the old scan backend hit an
-    # XLA batched-small-matmul pathology past B=128; the fused kernels
-    # sidestep it — throughput knee measured in PERF.md: 13.6k @128,
-    # 28.1k @256, 32.7k @512, 35.7k @1024, 37.3k @2048, 37.5k @4096)
+    # batch 2048 on the resident Pallas backend (the old scan backend hit
+    # an XLA batched-small-matmul pathology past B=128; the Pallas kernels
+    # sidestep it — full backend x batch sweep recorded in PERF.md)
     B = 2048
     rng = np.random.default_rng(0)
 

@@ -37,9 +37,12 @@ def main():
     from scaling import build_inputs, build_plan_fn
 
     B = int(os.environ.get("ROOFLINE_B", "1024"))
-    backend = ("riccati_fused" if jax.default_backend() == "tpu"
-               else "riccati")
-    cfg, _ = build_plan_fn(backend, 12)
+    backend = os.environ.get(
+        "ROOFLINE_BACKEND",
+        "riccati_resident" if jax.default_backend() == "tpu" else "riccati")
+    # the production iteration budget (SolverConfig default, shared by
+    # bench.py / backend_sweep / wbc_latency / f32_health)
+    cfg, _ = build_plan_fn(backend, 15)
     x0, refs = build_inputs(cfg, B)
 
     from apf_quadruped_tpu import planner

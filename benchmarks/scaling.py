@@ -70,10 +70,11 @@ def build_plan_fn(backend: str, iters: int):
     from apf_quadruped_tpu import planner
     from apf_quadruped_tpu.config import EngineConfig, MpcConfig, SolverConfig
 
+    # production SolverConfig() defaults except the iteration budget
+    # (VERDICT r2 #7: every artifact speaks about one config)
     cfg = EngineConfig(
         mpc=MpcConfig(horizon=20, dt=0.025, backend=backend),
-        solver=SolverConfig(iters=iters, reltol=1e-2, abstol=1e-2,
-                            static_reg=1e-6, eq_reg=1e-6, w_clip=1e6))
+        solver=SolverConfig(iters=iters))
     return cfg, jax.jit(lambda x0, refs: planner.plan(cfg, x0, refs))
 
 

@@ -32,7 +32,9 @@ def test_terrains(lib_available):
 def test_disturbances(lib_available):
     d = native.disturbances(batch=4, n_events=3, horizon_s=4.0, f_max=40.0,
                             seed=7)
-    assert d.shape == (4, 3, 7)
+    # 8 columns: the native 7 (t0, t1, fx, fy, fz, omega, phase) plus the
+    # appended application-link column (0 = base)
+    assert d.shape == (4, 3, 8)
     assert (d[..., 0] >= 0.5).all()
     assert (d[..., 1] <= 4.0).all()
     assert (np.abs(d[..., 2:4]) <= 40.0).all()
