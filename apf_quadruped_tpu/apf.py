@@ -96,11 +96,14 @@ def combined_asymmetry(cfg: ApfConfig, rob_foot) -> jnp.ndarray:
             + fr_db(jnp.abs(br - fr)) + fr_db(jnp.abs(bl - fl)))
 
 
-def foot_goals(target_xy) -> jnp.ndarray:
+def foot_goals(target_xy, robot=None) -> jnp.ndarray:
     """(.., 4, 2) per-foot goals = target +- nominal stance offsets
-    (main.cpp:1171-1174)."""
+    (main.cpp:1171-1174).  robot: optional RobotConfig; defaults to
+    DogBot's stance (dogbot_model.h:55-81)."""
+    sx, sy = ((robot.stance_x, robot.stance_y) if robot is not None
+              else (0.186571, 0.289186))
     off = jnp.asarray(LEG_SIGNS, target_xy.dtype) * jnp.asarray(
-        [0.186571, 0.289186], target_xy.dtype)
+        [sx, sy], target_xy.dtype)
     return target_xy[..., None, :] + off
 
 
@@ -127,11 +130,12 @@ def attractive_gain(cfg: ApfConfig, e_a, fake_crawl) -> jnp.ndarray:
     return jnp.where(fake_crawl[..., None, None], kc, k)
 
 
-def repulsive_versors(dtype=jnp.float32) -> jnp.ndarray:
+def repulsive_versors(dtype=jnp.float32, robot=None) -> jnp.ndarray:
     """(4, 2) outward unit vectors body-center -> nominal foot
     (the reference's *_versor, main.cpp:440-458)."""
-    v = jnp.asarray(LEG_SIGNS, dtype) * jnp.asarray([0.186571, 0.289186],
-                                                    dtype)
+    sx, sy = ((robot.stance_x, robot.stance_y) if robot is not None
+              else (0.186571, 0.289186))
+    v = jnp.asarray(LEG_SIGNS, dtype) * jnp.asarray([sx, sy], dtype)
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
@@ -167,12 +171,12 @@ def navigate(cfg: ApfConfig, state: ApfState, feet_xy, com_xy,
     fake_crawl = rob_mean < cfg.crawl_threshold         # main.cpp:1320
     comb = combined_asymmetry(cfg, rob)
 
-    goals = foot_goals(target_xy)
+    goals = foot_goals(target_xy, robot)
     e_a = jnp.clip(feet_xy - goals, -cfg.err_sat, cfg.err_sat)
     k = attractive_gain(cfg, e_a, fake_crawl)
     f_att = -k * e_a
 
-    vers = repulsive_versors(feet_xy.dtype)
+    vers = repulsive_versors(feet_xy.dtype, robot)
     lat = jnp.asarray([1.0, 0.0], feet_xy.dtype)        # lateral escape dir
     if cfg.min_exit:
         f_rep = (cfg.rep_gain_minexit * rob[..., None] * vers

@@ -61,6 +61,32 @@ class RobotConfig:
     # Standing height used by the navigation layer (main.cpp:1183 / 1415)
     com_height: float = 0.4
     f_normal_max: float = 1000.0               # towr parameters.cc:48
+    # --- per-link inertial constants of the leg chains ----------------
+    # (dogbot.xacro:142 body, :237 hip, :282 upper leg, :325 lower leg,
+    # :366 foot).  These feed models/rbd.py's energy-based mass matrix;
+    # non-DogBot robots (models/zoo.py) override them so the WHOLE stack
+    # — kinematics, rigid-body dynamics, WBC, closed loop — serves any
+    # roll-pitch-knee quadruped, not just DogBot.
+    body_mass: float = 9.3
+    body_inertia: Tuple[float, float, float] = (0.41, 0.091, 0.482)
+    hip_mass: float = 0.836
+    hip_com_x: float = 0.0074                  # * sigma_x
+    hip_inertia: Tuple[float, float, float] = (0.00213, 0.00147, 0.00172)
+    upper_mass: float = 1.851
+    upper_com: Tuple[float, float, float] = (0.0418, 0.0, -0.0517)
+    upper_inertia: Tuple[float, float, float] = (0.0238, 0.0252, 0.0044)
+    lower_mass: float = 0.302
+    lower_com: Tuple[float, float, float] = (0.0, -0.029, -0.1439)
+    lower_inertia: Tuple[float, float, float] = (0.00527, 0.00509, 0.0008)
+    foot_mass: float = 0.001
+    # foot joint origin y-offset in the lower-leg frame (its z-offset is
+    # -lower_leg_len), dogbot.xacro:366
+    foot_y_offset: float = -0.035
+    # Optional leg-major (roll, pitch, knee)x4 joint-limit override; None
+    # reproduces DogBot's side-mirrored xacro limit formulas
+    # (models/dogbot.py::joint_limits).
+    q_min_leg: Tuple[float, ...] | None = None
+    q_max_leg: Tuple[float, ...] | None = None
 
 
 @dataclasses.dataclass(frozen=True)

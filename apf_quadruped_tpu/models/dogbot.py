@@ -68,8 +68,13 @@ def joint_limits(cfg: RobotConfig) -> tuple[np.ndarray, np.ndarray]:
 
     From the xacro limit formulas (dogbot.xacro:242-251 roll +/-100deg;
     286-297 pitch; 336-345 knee), which reproduce the reference's inline
-    qmin/qmax set (main.cpp:493-494) in its own joint ordering.
+    qmin/qmax set (main.cpp:493-494) in its own joint ordering.  A robot
+    with different limits (models/zoo.py) overrides them wholesale via
+    cfg.q_min_leg / cfg.q_max_leg.
     """
+    if cfg.q_min_leg is not None:
+        return (np.asarray(cfg.q_min_leg, float),
+                np.asarray(cfg.q_max_leg, float))
     d2r = np.pi / 180.0
     qmin = np.zeros((4, 3))
     qmax = np.zeros((4, 3))

@@ -35,7 +35,7 @@ def leg_fk(cfg: RobotConfig, signs: jnp.ndarray, hip: jnp.ndarray,
         [(cfg.leg_offset_side - cfg.hip_offset_side) * sx,
          jnp.zeros_like(sx), jnp.zeros_like(sx)], axis=-1)
     p2 = jnp.asarray([0.0, 0.0, -cfg.upper_leg_len], q.dtype)
-    p3 = jnp.asarray([0.0, -0.035, -cfg.lower_leg_len], q.dtype)
+    p3 = jnp.asarray([0.0, cfg.foot_y_offset, -cfg.lower_leg_len], q.dtype)
     inner = p2 + jnp.einsum("...ij,j->...i", r3, p3)
     mid = p1 + jnp.einsum("...ij,...j->...i", r2, inner)
     return hip + jnp.einsum("...ij,...j->...i", r1, mid)

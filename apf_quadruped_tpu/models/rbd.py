@@ -46,47 +46,46 @@ NB = 13        # moving bodies: body + 4 x (hip, upper, lower+foot)
 NV = 18        # generalized-velocity dim
 GRAVITY = 9.81
 
-# --- inertial constants (link frame), dogbot.xacro:142/237/282/325/366 ---
-BODY_MASS = 9.3
-BODY_INERTIA = (0.41, 0.091, 0.482)
-HIP_MASS = 0.836
-HIP_COM_X = 0.0074            # * sigma_x
-HIP_INERTIA = (0.00213, 0.00147, 0.00172)
-UPPER_MASS = 1.851
-UPPER_COM = (0.0418, 0.0, -0.0517)   # x * sigma_x
-UPPER_INERTIA = (0.0238, 0.0252, 0.0044)
-LOWER_MASS = 0.302
-LOWER_COM = (0.0, -0.029, -0.1439)
-LOWER_INERTIA = (0.00527, 0.00509, 0.0008)
-FOOT_MASS = 0.001
-FOOT_POS = (0.0, -0.035, -0.3)       # fixed to lower leg (xacro:366)
-
-# lump the foot into the lower leg (fixed joint, as gazebo does)
-_LOWER_M = LOWER_MASS + FOOT_MASS
-_LOWER_COM = tuple(
-    (LOWER_MASS * c + FOOT_MASS * f) / _LOWER_M
-    for c, f in zip(LOWER_COM, FOOT_POS))
+# Default (DogBot) inertial constants live as RobotConfig fields
+# (config.py: body_mass .. foot_y_offset, dogbot.xacro:142/237/282/325/366)
+# so the same dynamics serve any roll-pitch-knee quadruped in models/zoo.py.
 
 
-def _link_constants(dtype=jnp.float32):
+def _link_constants(cfg: RobotConfig, dtype=jnp.float32):
     """masses (NB,), com offsets in link frame (NB,3), inertias (NB,3,3).
 
-    Body order: [body, then per leg (BR, BL, FL, FR): hip, upper, lower]."""
-    masses = [BODY_MASS]
+    Body order: [body, then per leg (BR, BL, FL, FR): hip, upper, lower].
+    The foot is lumped into the lower leg (fixed joint, as gazebo does);
+    all values are static Python floats from the frozen config, so the
+    arrays are compile-time constants under jit."""
+    lower_m = cfg.lower_mass + cfg.foot_mass
+    foot_pos = (0.0, cfg.foot_y_offset, -cfg.lower_leg_len)
+    lower_com = tuple(
+        (cfg.lower_mass * c + cfg.foot_mass * f) / lower_m
+        for c, f in zip(cfg.lower_com, foot_pos))
+    masses = [cfg.body_mass]
     coms = [(0.0, 0.0, 0.0)]
-    inertias = [np.diag(BODY_INERTIA)]
+    inertias = [np.diag(cfg.body_inertia)]
     for sx, _sy in np.asarray(LEG_SIGNS):
-        masses += [HIP_MASS, UPPER_MASS, _LOWER_M]
-        coms += [(HIP_COM_X * sx, 0.0, 0.0),
-                 (UPPER_COM[0] * sx, UPPER_COM[1], UPPER_COM[2]),
-                 _LOWER_COM]
-        inertias += [np.diag(HIP_INERTIA), np.diag(UPPER_INERTIA),
-                     np.diag(LOWER_INERTIA)]
+        masses += [cfg.hip_mass, cfg.upper_mass, lower_m]
+        coms += [(cfg.hip_com_x * sx, 0.0, 0.0),
+                 (cfg.upper_com[0] * sx, cfg.upper_com[1], cfg.upper_com[2]),
+                 lower_com]
+        inertias += [np.diag(cfg.hip_inertia), np.diag(cfg.upper_inertia),
+                     np.diag(cfg.lower_inertia)]
     return (jnp.asarray(masses, dtype), jnp.asarray(coms, dtype),
             jnp.asarray(np.stack(inertias), dtype))
 
 
-TOTAL_MASS = float(BODY_MASS + 4 * (HIP_MASS + UPPER_MASS + _LOWER_M))
+def total_mass(cfg: RobotConfig) -> float:
+    """Static Python float: sum of link masses (should equal cfg.mass)."""
+    return float(cfg.body_mass + 4 * (cfg.hip_mass + cfg.upper_mass
+                                      + cfg.lower_mass + cfg.foot_mass))
+
+
+# DogBot's total mass (the RobotConfig defaults): 21.26 kg, matching the
+# towr model's 21.261 (dogbot_model.h:91).
+TOTAL_MASS = total_mass(RobotConfig())
 
 
 def _leg_frames(cfg: RobotConfig, q_leg, sx, sy):
@@ -118,7 +117,7 @@ def link_kinematics(cfg: RobotConfig, q):
     p_coms (..,NB,3) link-CoM positions in base frame)."""
     dtype = q.dtype
     batch = q.shape[:-1]
-    _, coms, _ = _link_constants(dtype)
+    _, coms, _ = _link_constants(cfg, dtype)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
     Rs = [eye]
     ps = [jnp.broadcast_to(coms[0], batch + (3,))]
@@ -178,7 +177,7 @@ def mass_matrix(cfg: RobotConfig, R_wb, q):
     The role of iDynTree's getFreeFloatingMassMatrix (main.cpp:770)."""
     dtype = q.dtype
     batch = q.shape[:-1]
-    masses, _, I_links = _link_constants(dtype)
+    masses, _, I_links = _link_constants(cfg, dtype)
 
     def vel_flat(u):
         v, w = _link_velocities(cfg, jnp.zeros(batch + (3,), dtype),
@@ -207,7 +206,7 @@ def bias_forces(cfg: RobotConfig, p_base, R_wb, q, u):
     """
     dtype = q.dtype
     batch = q.shape[:-1]
-    masses, _, I_links = _link_constants(dtype)
+    masses, _, I_links = _link_constants(cfg, dtype)
     v_b, omega, qd = u[..., 0:3], u[..., 3:6], u[..., 6:18]
 
     def vel_fn(p, R, qv):
@@ -289,25 +288,25 @@ def contact_bias_mixed(cfg: RobotConfig, p_base, R_wb, q, u):
 def com_position(cfg: RobotConfig, p_base, R_wb, q):
     """(.., 3) whole-body CoM in world (role of getCenterOfMassPosition,
     main.cpp:748)."""
-    masses, _, _ = _link_constants(q.dtype)
+    masses, _, _ = _link_constants(cfg, q.dtype)
     _, p_coms_b = link_kinematics(cfg, q)
     p_w = p_base[..., None, :] + jnp.einsum("...ij,...bj->...bi", R_wb,
                                             p_coms_b)
-    return jnp.einsum("b,...bi->...i", masses, p_w) / TOTAL_MASS
+    return jnp.einsum("b,...bi->...i", masses, p_w) / total_mass(cfg)
 
 
 def composite_inertia_com(cfg: RobotConfig, p_base, R_wb, q):
     """(.., 3, 3) whole-body rotational inertia about the CoM (the 3x3
     angular block of the reference's MassMatrixCOM, main.cpp:795):
     sum_b [ I_b^w + m_b (|r|^2 I - r r') ],  r = com_b - com."""
-    masses, _, I_links = _link_constants(q.dtype)
+    masses, _, I_links = _link_constants(cfg, q.dtype)
     R_links_b, p_coms_b = link_kinematics(cfg, q)
     R_links_w = jnp.einsum("...ij,...bjk->...bik", R_wb, R_links_b)
     I_w = jnp.einsum("...bij,bjk,...blk->...bil", R_links_w, I_links,
                      R_links_w)
     p_w = p_base[..., None, :] + jnp.einsum("...ij,...bj->...bi", R_wb,
                                             p_coms_b)
-    com = jnp.einsum("b,...bi->...i", masses, p_w) / TOTAL_MASS
+    com = jnp.einsum("b,...bi->...i", masses, p_w) / total_mass(cfg)
     r = p_w - com[..., None, :]
     r2 = jnp.sum(r * r, axis=-1)
     eye = jnp.eye(3, dtype=q.dtype)
@@ -320,11 +319,11 @@ def com_jacobian(cfg: RobotConfig, R_wb, q):
     """(.., 3, NV) CoM velocity Jacobian: v_com = J_com u."""
     dtype = q.dtype
     batch = q.shape[:-1]
-    masses, _, _ = _link_constants(dtype)
+    masses, _, _ = _link_constants(cfg, dtype)
 
     def com_vel(u):
         v, _ = _link_velocities(cfg, jnp.zeros(batch + (3,), dtype),
                                 R_wb, q, u)
-        return jnp.einsum("b,...bi->...i", masses, v) / TOTAL_MASS
+        return jnp.einsum("b,...bi->...i", masses, v) / total_mass(cfg)
 
     return jax.jacfwd(com_vel)(jnp.zeros(batch + (NV,), dtype))

@@ -112,11 +112,111 @@ ZOO = {m().name: m for m in (dogbot, anymal, hyq, biped, monoped)}
 
 
 def robot_config_for(model: SrbModel):
-    """RobotConfig override carrying the model's SRB constants (kinematic
-    leg parameters stay DogBot's — only the SRB MPC layer is
-    robot-agnostic; whole-body layers need a leg chain model)."""
+    """Full RobotConfig for the model.
+
+    Quadrupeds (anymal, hyq) carry a complete roll-pitch-knee leg chain —
+    geometry, link masses/inertias, limits — so kinematics, rigid-body
+    dynamics, the WBC, and the closed loop all serve them (not just the
+    SRB planner).  The SRB constants (mass, inertia, stance, max_dev) are
+    towr's (anymal_model.h / hyq_model.h); the reference ships no leg
+    URDFs for these robots, so the chain parameters are representative
+    values chosen to realize the towr stance (total link mass == SRB
+    mass, nominal stance reachable with bent knees).  Biped/monoped stay
+    SRB-only (their topology is not a 4x roll-pitch-knee chain).
+    """
     from ..config import RobotConfig
 
+    if model.name in _FULL_CONFIGS:
+        return _FULL_CONFIGS[model.name]()
     return RobotConfig(mass=model.mass, inertia=tuple(model.inertia),
                        com_height=model.com_height,
                        max_dev=tuple(model.max_dev))
+
+
+def _limits_symmetric(roll, pitch, knee):
+    lo = tuple([-roll, -pitch, -knee] * 4)
+    hi = tuple([roll, pitch, knee] * 4)
+    return lo, hi
+
+
+def anymal_robot_config():
+    """ANYmal closed-loop RobotConfig (SRB constants: anymal_model.h).
+
+    Leg chain: hips 0.2775 m fore/aft and 0.116 m lateral of the base
+    origin, thighs in the foot's lateral plane (0.19 m), 0.25 m upper /
+    0.33 m lower links — the towr stance (0.34 fwd, 0.19 lat, 0.42 down)
+    sits comfortably inside the 0.58 m reach.  Link masses sum to the
+    SRB 29.5 kg."""
+    from ..config import RobotConfig
+
+    m = anymal()
+    qlo, qhi = _limits_symmetric(1.0, 2.6, 2.8)
+    return RobotConfig(
+        mass=m.mass, inertia=tuple(m.inertia),
+        stance_x=0.19, stance_y=0.34, stance_z=-0.42,
+        max_dev=tuple(m.max_dev), com_height=m.com_height,
+        hip_offset_side=0.116, hip_offset=0.2775, leg_offset_side=0.19,
+        upper_leg_len=0.25, lower_leg_len=0.33,
+        foot_radius=0.02, foot_y_offset=0.0,
+        tau_max=40.0, qd_max=7.5,
+        q_min_leg=qlo, q_max_leg=qhi,
+        body_mass=16.756, body_inertia=(0.45, 0.15, 0.58),
+        hip_mass=1.42, hip_com_x=0.02,
+        hip_inertia=(0.003, 0.003, 0.003),
+        upper_mass=1.2, upper_com=(0.03, 0.0, -0.06),
+        upper_inertia=(0.01, 0.01, 0.002),
+        lower_mass=0.5, lower_com=(0.0, 0.0, -0.14),
+        lower_inertia=(0.006, 0.006, 0.0005),
+        foot_mass=0.066)
+
+
+def hyq_robot_config():
+    """HyQ closed-loop RobotConfig (SRB constants: hyq_model.h); same
+    representative-chain construction as anymal_robot_config."""
+    from ..config import RobotConfig
+
+    m = hyq()
+    qlo, qhi = _limits_symmetric(1.0, 2.6, 2.8)
+    # com_height is the NAVIGATION/MPC CoM z-target: the base stands at
+    # 0.58 (towr stance) but the whole-body CoM sits ~0.06 below the base
+    # origin (leg mass), so the closed-loop target is 0.54 — aiming for
+    # 0.58 would drive the legs into the straight-knee singularity.
+    return RobotConfig(
+        mass=m.mass, inertia=tuple(m.inertia),
+        stance_x=0.29, stance_y=0.31, stance_z=-0.58,
+        max_dev=tuple(m.max_dev), com_height=0.54,
+        hip_offset_side=0.12, hip_offset=0.31, leg_offset_side=0.29,
+        upper_leg_len=0.38, lower_leg_len=0.38,
+        foot_radius=0.02, foot_y_offset=0.0,
+        tau_max=150.0, qd_max=12.0,
+        q_min_leg=qlo, q_max_leg=qhi,
+        body_mass=50.0, body_inertia=(1.5, 1.0, 2.0),
+        hip_mass=2.5, hip_com_x=0.03,
+        hip_inertia=(0.01, 0.01, 0.01),
+        upper_mass=3.5, upper_com=(0.03, 0.0, -0.1),
+        upper_inertia=(0.05, 0.05, 0.01),
+        lower_mass=2.0, lower_com=(0.0, 0.0, -0.15),
+        lower_inertia=(0.03, 0.03, 0.003),
+        foot_mass=0.25)
+
+
+_FULL_CONFIGS = {"anymal": anymal_robot_config, "hyq": hyq_robot_config}
+
+
+def engine_config_for(name: str):
+    """EngineConfig whose whole stack (navigation, MPC, WBC, sim) runs
+    the named robot.  For anymal/hyq this is the CLOSED-LOOP config; for
+    biped/monoped, SRB-planner-only constants.
+
+    The fake-crawl threshold (main.cpp:1320, 0.34) is DogBot-tuned: the
+    robustness index's steady-state level is robot-dependent (it
+    integrates normalized friction-cone margins, which scale with the
+    robot's force distribution).  Measured flat-ground steady state:
+    DogBot ~0.5, anymal/hyq ~0.3 — so the heavier robots get a 0.22
+    threshold that preserves the reference semantics (trigger on genuine
+    margin loss, not on nominal walking)."""
+    from ..config import ApfConfig, EngineConfig
+
+    apf = ApfConfig(crawl_threshold=0.22) if name in _FULL_CONFIGS \
+        else ApfConfig()
+    return EngineConfig(robot=robot_config_for(ZOO[name]()), apf=apf)

@@ -128,9 +128,10 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
     g6 = jnp.zeros(6, dtype).at[2].set(rbd.GRAVITY)
     I_com = rbd.composite_inertia_com(cfg.robot, st.p_base, st.R_wb, st.q)
     M_c = jnp.zeros((6, 6), dtype)
-    M_c = M_c.at[0:3, 0:3].set(rbd.TOTAL_MASS * jnp.eye(3, dtype=dtype))
+    m_tot = rbd.total_mass(cfg.robot)
+    M_c = M_c.at[0:3, 0:3].set(m_tot * jnp.eye(3, dtype=dtype))
     M_c = M_c.at[3:6, 3:6].set(I_com)
-    Wdes = (w.k_com * dx + w.d_com * dv + rbd.TOTAL_MASS * g6
+    Wdes = (w.k_com * dx + w.d_com * dv + m_tot * g6
             + M_c @ a_des)                                # main.cpp:1572
 
     if w.ref_exact:

@@ -57,7 +57,7 @@ def test_com_jacobian_vs_momentum():
     Jc = rbd.com_jacobian(CFG, R, q)
     v_com = np.asarray(Jc @ u)
     v, w = rbd._link_velocities(CFG, p, R, q, u)
-    masses, _, _ = rbd._link_constants(q.dtype)
+    masses, _, _ = rbd._link_constants(CFG, q.dtype)
     v_expected = np.asarray(
         jnp.einsum("b,bi->i", masses, v) / rbd.TOTAL_MASS)
     np.testing.assert_allclose(v_com, v_expected, atol=1e-10)

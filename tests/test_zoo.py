@@ -69,3 +69,73 @@ def test_zoo_registry():
     assert set(zoo.ZOO) == {"dogbot", "anymal", "hyq", "biped", "monoped"}
     m = zoo.ZOO["anymal"]()
     assert abs(m.mass - 29.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop: non-DogBot robots through the WHOLE stack (VERDICT r2 #8).
+# The leg chain (kinematics + rigid-body dynamics + WBC + sim contact) is
+# parametrized through RobotConfig, so anymal walks end-to-end — the zoo is
+# no longer planner-only.  Reference role: towr's model family
+# (include/towr/models/examples/anymal_model.h) + the closed-loop scenario
+# runs (gztest*.launch).
+# ---------------------------------------------------------------------------
+
+def test_zoo_full_configs_mass_consistent():
+    """Link masses must sum to the SRB mass for every closed-loop robot."""
+    from apf_quadruped_tpu.models import rbd
+
+    # 2e-3 tolerance: DogBot's own xacro link masses sum to 21.260 while
+    # the towr model header says 21.261 (a genuine reference-data quirk)
+    for name in ("dogbot", "anymal", "hyq"):
+        cfg = zoo.robot_config_for(zoo.ZOO[name]())
+        assert abs(rbd.total_mass(cfg) - cfg.mass) < 2e-3, name
+
+
+def test_zoo_stance_reachable():
+    """stance_ik must hit the towr nominal stance for every full config."""
+    from apf_quadruped_tpu.models import kinematics
+    from apf_quadruped_tpu.models.dogbot import nominal_stance
+
+    for name in ("anymal", "hyq"):
+        cfg = zoo.robot_config_for(zoo.ZOO[name]())
+        tgt = nominal_stance(cfg)
+        feet = np.asarray(kinematics.fk(cfg, kinematics.stance_ik(cfg, tgt)))
+        assert np.abs(feet - tgt).max() < 1e-5, name
+
+
+def test_anymal_walks_closed_loop():
+    """ANYmal trots end-to-end: APF -> MPC -> WBC -> sim, 8 cycles (4 s).
+
+    Asserts forward progress toward the goal, no fall, healthy WBC
+    convergence at the production solver config."""
+    from apf_quadruped_tpu.runtime import loop
+    from apf_quadruped_tpu.sim import disturbance, terrain
+
+    cfg = zoo.engine_config_for("anymal")
+    st = loop.init(cfg, dtype=jnp.float64)
+    terr = terrain.flat(cfg.sim, dtype=jnp.float64)
+    st, m = loop.run(cfg, st, terr, jnp.asarray([0.0, 1.5]),
+                     disturbance.empty(jnp.float64), n_cycles=8)
+    com = np.asarray(m.com)
+    assert com[-1, 1] > 0.30, f"no forward progress: {com[:, 1]}"
+    assert np.all(com[:, 2] > 0.30), f"fell: z={com[:, 2]}"
+    assert np.asarray(m.qp_converged).mean() > 0.9
+    assert np.asarray(m.track_err).max() < 0.05
+
+
+def test_hyq_stands_closed_loop():
+    """HyQ holds its stance through the full WBC + sim stack (2 cycles,
+    zero target displacement): heavy-robot sanity for the parametrized
+    dynamics."""
+    from apf_quadruped_tpu.runtime import loop
+    from apf_quadruped_tpu.sim import disturbance, terrain
+
+    cfg = zoo.engine_config_for("hyq")
+    st = loop.init(cfg, dtype=jnp.float64)
+    terr = terrain.flat(cfg.sim, dtype=jnp.float64)
+    st, m = loop.run(cfg, st, terr, jnp.asarray([0.0, 0.0]),
+                     disturbance.empty(jnp.float64), n_cycles=2)
+    com = np.asarray(m.com)
+    assert np.all(com[:, 2] > 0.45), f"fell: z={com[:, 2]}"
+    assert np.abs(com[-1, 0:2]).max() < 0.1
+    assert np.asarray(m.qp_converged).mean() > 0.9
