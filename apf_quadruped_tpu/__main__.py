@@ -28,7 +28,16 @@ def _cfg(args):
     # f64, and unreachable tolerances prevent lanes from freezing, letting
     # the IPM iterate past convergence into f32 Cholesky breakdown
     # (measured in F32_HEALTH.md).
-    return EngineConfig(
+    robot_name = getattr(args, "robot", "dogbot")
+    if robot_name != "dogbot":
+        # zoo robot: full closed-loop config (leg chain + tuned APF
+        # thresholds) from models/zoo.py, with the CLI flags layered on
+        from .models import zoo
+
+        base = zoo.engine_config_for(robot_name)
+    else:
+        base = EngineConfig()
+    return base.replace(
         gait=GaitConfig(mode=gait_mode),
         mpc=MpcConfig(horizon=40 if gait_mode != "trot" else 20,
                       sqp_iters=getattr(args, "sqp", 1)),
@@ -120,6 +129,9 @@ def main(argv=None):
                     help="gait mode (adaptive = in-loop robustness switch)")
     pr.add_argument("--sqp", type=int, default=1,
                     help="SQP outer iterations per MPC solve")
+    pr.add_argument("--robot", choices=("dogbot", "anymal", "hyq"),
+                    default="dogbot",
+                    help="closed-loop robot model (models/zoo.py)")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("sweep", help="batched scenario sweep")
