@@ -100,6 +100,42 @@ def _run_one(cfg: EngineConfig, scn: Scenario, n_cycles: int, dtype):
     return st2, metrics, com
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def init_batch(cfg: EngineConfig, scn: Scenario):
+    """Batched initial LoopStates for a scenario batch (spawns applied)."""
+    dtype = scn.target_xy.dtype
+
+    def one(s):
+        st = loop.init(cfg, dtype=dtype)
+        st = st._replace(sim=st.sim._replace(
+            p_base=st.sim.p_base.at[0:2].set(s.spawn_xy)))
+        seed = 0.0 * (jnp.sum(s.target_xy) + s.spawn_yaw
+                      + jnp.sum(s.mu_map) + jnp.sum(s.dist_sched))
+        return mesh_mod.seed_varying(st, seed)
+
+    return jax.vmap(one)(scn)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
+def step_batch(cfg: EngineConfig, scn: Scenario, states, n_cycles: int):
+    """Advance a batch of LoopStates n_cycles and return (states',
+    stacked CycleMetrics).
+
+    The chunked driver: long experiments call this repeatedly with a
+    SMALL n_cycles, threading the state — the compiled program stays
+    small (one n_cycles-scan) and is reused across chunks, cases, and
+    sweeps, instead of baking the whole experiment length into one giant
+    XLA program (benchmarks/case_study.py)."""
+
+    def one(s, st):
+        terr = terrain_mod.Terrain(mu_map=s.mu_map,
+                                   extent=cfg.sim.terrain_extent,
+                                   res=cfg.sim.terrain_res)
+        return loop.run(cfg, st, terr, s.target_xy, s.dist_sched, n_cycles)
+
+    return jax.vmap(one)(scn, states)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_cycles"))
 def run_batch(cfg: EngineConfig, scn: Scenario, n_cycles: int) -> SweepResult:
     """vmap over the scenario batch (single device)."""

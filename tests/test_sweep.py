@@ -66,3 +66,22 @@ def test_checkpoint_roundtrip():
         st2 = checkpoint.restore(path, like=st)
         for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_step_matches_run_batch():
+    """Driving the batch in 2 chunks of 1 cycle through
+    init_batch/step_batch must reproduce run_batch(n_cycles=2) exactly
+    (same states, same stacked metrics) — the chunked driver is what
+    long experiments (benchmarks/case_study.py) use to keep compiled
+    programs small."""
+    scn = sweep.random_scenarios(CFG, n=4, seed=3)
+    res = sweep.run_batch(CFG, scn, n_cycles=2)
+
+    states = sweep.init_batch(CFG, scn)
+    states, m1 = sweep.step_batch(CFG, scn, states, 1)
+    states, m2 = sweep.step_batch(CFG, scn, states, 1)
+    com_chunked = np.stack([np.asarray(m1.com)[:, 0],
+                            np.asarray(m2.com)[:, 0]], axis=1)
+    np.testing.assert_allclose(com_chunked, np.asarray(res.metrics.com),
+                               rtol=0, atol=1e-12)
+    assert np.isfinite(np.asarray(states.sim.q)).all()
