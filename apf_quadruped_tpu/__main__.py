@@ -115,7 +115,7 @@ def main(argv=None):
 
     pr = sub.add_parser("run", help="single closed-loop scenario")
     pr.add_argument("--case", type=int, default=0,
-                    help="case world 1-4 (0 = flat ground)")
+                    help="case world 1-4, 5 = nav_case1a (0 = flat)")
     pr.add_argument("--world", type=str, default="",
                     help="height-map world (block/stairs/gap/slope/"
                          "chimney/chimney_lr; overrides --case)")

@@ -133,9 +133,11 @@ def add_box(cfg: SimConfig, mu_map: np.ndarray, cx, cy, lx, ly, mu) -> np.ndarra
 # circle_hard 0.3, box_hard 0.15, *_medium 0.5, *_easy 0.8.
 
 def case_world(cfg: SimConfig, case: int, dtype=jnp.float32) -> Terrain:
-    """Friction layouts mirroring dogbot_gazebo/worlds/case{1..4}.world:
-    case1 = corridor of big slippery circles, case2 = boxes + circles,
-    case3 = one medium square, case4 = one hard box.  (Coordinates follow
+    """Friction layouts mirroring dogbot_gazebo/worlds/case{1..4}.world +
+    nav_case1a.world: case1 = corridor of big slippery circles, case2 =
+    boxes + circles, case3 = one medium square, case4 = one hard box,
+    case5 = nav_case1a's graded easy/medium/hard circle line.
+    (Coordinates follow
     the world files' spirit: patches straddle the straight-line path from
     the spawn to a forward goal along +y.)"""
     m = np.full((cfg.terrain_res, cfg.terrain_res), cfg.mu_default)
@@ -153,6 +155,12 @@ def case_world(cfg: SimConfig, case: int, dtype=jnp.float32) -> Terrain:
         m = add_box(cfg, m, 0.0, 1.5, 0.8, 0.8, 0.5)
     elif case == 4:
         m = add_box(cfg, m, 0.0, 1.5, 0.9, 0.7, 0.15)
+    elif case == 5:
+        # nav_case1a.world: graded big circles — easy (mu 0.8) at
+        # (0.3, 1.7), medium (0.5) at (0, 3.6), hard (0.2) at (0, 5.7)
+        m = add_circle(cfg, m, 0.3, 1.7, 0.45, 0.8)
+        m = add_circle(cfg, m, 0.0, 3.6, 0.45, 0.5)
+        m = add_circle(cfg, m, 0.0, 5.7, 0.45, 0.2)
     return Terrain(mu_map=jnp.asarray(m, dtype), extent=cfg.terrain_extent,
                    res=cfg.terrain_res)
 
