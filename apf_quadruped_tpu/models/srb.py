@@ -81,38 +81,70 @@ def linearize_discrete(cfg: RobotConfig, yaw_ref, r_ref, feet_w,
     linearized continuous dynamics (adequate at dt <= 0.05 s; the reference
     plans with dt_dyn = 0.1 s, parameters.cc:47).
     """
+    import numpy as _np
+
     dtype = r_ref.dtype
     batch = yaw_ref.shape
-    zero3 = jnp.zeros(batch + (3, 3), dtype)
+    zeros3 = jnp.zeros(batch + (3, 3), dtype)
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
 
     rpy0 = jnp.stack([jnp.zeros_like(yaw_ref), jnp.zeros_like(yaw_ref),
                       yaw_ref], axis=-1)
     Einv = omega_world_to_euler_rate(rpy0)                # (..,3,3)
 
+    # I_w^{-1} = R I_b^{-1} R' — I_b^{-1} is a compile-time constant, so
+    # no batched LU inverse appears in the graph (the jnp.linalg.inv the
+    # first version used emitted dozens of tiny strided ops per call and
+    # dominated plan() wall time — see PERF.md r3 prep-vs-solve split)
     R = rpy_to_rot(rpy0)
-    I_b = inertia_tensor(jnp.asarray(cfg.inertia, dtype))
-    I_w = R @ I_b @ jnp.swapaxes(R, -1, -2)
-    I_w_inv = jnp.linalg.inv(I_w)
+    ixx, iyy, izz, ixy, ixz, iyz = cfg.inertia
+    I_b_np = _np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]],
+                       _np.float64)
+    I_b_inv = jnp.asarray(_np.linalg.inv(I_b_np), dtype)
+    I_w_inv = jnp.einsum("...ij,jk,...lk->...il", R, I_b_inv, R)
 
-    # continuous A (NX x NX): d[rpy] = Einv omega ; d[r] = v ; affine row 0
-    Ac = jnp.zeros(batch + (NX, NX), dtype)
-    Ac = Ac.at[..., 0:3, 6:9].set(Einv)
-    Ac = Ac.at[..., 3:6, 9:12].set(eye3)
-    Ac = Ac.at[..., 11, 12].set(-GRAVITY)                 # v_z' += -g * 1
+    # Assemble A = I + dt*Ac by concatenating 3-row bands (no .at[].set
+    # scatter chains: each produced exactly one full-size copy of the
+    # (B, H, NX, NX) buffer).
+    def band(cols):
+        # cols: list of (col_start, (..,3,3) block); rest zero
+        parts, pos = [], 0
+        for cs, blk in cols:
+            if cs > pos:
+                parts.append(jnp.zeros(batch + (3, cs - pos), dtype))
+            parts.append(blk)
+            pos = cs + 3
+        if pos < NX:
+            parts.append(jnp.zeros(batch + (3, NX - pos), dtype))
+        return jnp.concatenate(parts, axis=-1)
 
-    # continuous B: omega' = I^-1 (p_i - r) x f_i ; v' = f_i / m
-    lever = feet_w - r_ref[..., None, :]                  # (..,4,3)
-    Bc = jnp.zeros(batch + (NX, NU), dtype)
-    for i in range(4):
-        blk = jnp.einsum("...ij,...jk->...ik", I_w_inv,
-                         skew(lever[..., i, :]))
-        blk = blk * contact[..., i, None, None]
-        Bc = Bc.at[..., 6:9, 3 * i:3 * i + 3].set(blk)
-        Bc = Bc.at[..., 9:12, 3 * i:3 * i + 3].set(
-            eye3 / cfg.mass * contact[..., i, None, None])
+    dts = jnp.asarray(dt, dtype)
+    rows_rpy = band([(0, eye3), (6, dts * Einv)])          # rpy' = Einv w
+    rows_r = band([(3, eye3), (9, dts * eye3)])            # r' = v
+    rows_w = band([(6, eye3)])                             # w' = (forces)
+    # v rows: eye + affine gravity column
+    rows_v = jnp.concatenate(
+        [jnp.zeros(batch + (3, 9), dtype), eye3,
+         jnp.broadcast_to(jnp.asarray([0.0, 0.0, -GRAVITY * dt], dtype)[
+             (None,) * len(batch) + (slice(None), None)], batch + (3, 1))],
+        axis=-1)
+    row_aff = jnp.concatenate(
+        [jnp.zeros(batch + (1, 12), dtype),
+         jnp.ones(batch + (1, 1), dtype)], axis=-1)
+    A = jnp.concatenate([rows_rpy, rows_r, rows_w, rows_v, row_aff],
+                        axis=-2)
 
-    eye_nx = jnp.broadcast_to(jnp.eye(NX, dtype=dtype), batch + (NX, NX))
-    A = eye_nx + dt * Ac
-    B = dt * Bc
+    # B rows: omega' blocks dt * I_w^{-1} skew(lever_i) * contact_i side
+    # by side, and v' blocks dt/m * contact_i * I; zeros elsewhere.
+    lever = feet_w - r_ref[..., None, :]                   # (..,4,3)
+    sk = skew(lever)                                       # (..,4,3,3)
+    wblk = dts * jnp.einsum("...ij,...ljk->...lik", I_w_inv, sk)
+    wblk = wblk * contact[..., :, None, None]
+    wrows = jnp.concatenate([wblk[..., i, :, :] for i in range(4)], axis=-1)
+    vblk = (dts / cfg.mass) * contact[..., :, None, None] * eye3[..., None,
+                                                                 :, :]
+    vrows = jnp.concatenate([vblk[..., i, :, :] for i in range(4)], axis=-1)
+    B = jnp.concatenate(
+        [jnp.zeros(batch + (6, NU), dtype), wrows, vrows,
+         jnp.zeros(batch + (1, NU), dtype)], axis=-2)
     return A, B
