@@ -22,10 +22,14 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .config import ApfConfig
+from .config import ApfConfig, RobotConfig
 from .models.dogbot import LEG_SIGNS
 
 THETA = jnp.arctan(0.5)   # friction-cone half angle, main.cpp:1519
+
+# robot=None fallback stance offsets come from the RobotConfig defaults
+# (single source of truth; dogbot_model.h:55-81)
+_DEFAULT_STANCE = (RobotConfig.stance_x, RobotConfig.stance_y)
 
 
 class ApfState(NamedTuple):
@@ -101,7 +105,7 @@ def foot_goals(target_xy, robot=None) -> jnp.ndarray:
     (main.cpp:1171-1174).  robot: optional RobotConfig; defaults to
     DogBot's stance (dogbot_model.h:55-81)."""
     sx, sy = ((robot.stance_x, robot.stance_y) if robot is not None
-              else (0.186571, 0.289186))
+              else _DEFAULT_STANCE)
     off = jnp.asarray(LEG_SIGNS, target_xy.dtype) * jnp.asarray(
         [sx, sy], target_xy.dtype)
     return target_xy[..., None, :] + off
@@ -134,7 +138,7 @@ def repulsive_versors(dtype=jnp.float32, robot=None) -> jnp.ndarray:
     """(4, 2) outward unit vectors body-center -> nominal foot
     (the reference's *_versor, main.cpp:440-458)."""
     sx, sy = ((robot.stance_x, robot.stance_y) if robot is not None
-              else (0.186571, 0.289186))
+              else _DEFAULT_STANCE)
     v = jnp.asarray(LEG_SIGNS, dtype) * jnp.asarray([sx, sy], dtype)
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 

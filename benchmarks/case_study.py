@@ -67,10 +67,13 @@ def build_scenarios(cfg, case: int, B: int, seed: int, dtype):
                         np.full(B, 4.0)], axis=-1)
     spawns = np.stack([rng.uniform(-0.12, 0.12, B),
                        rng.uniform(-0.05, 0.05, B)], axis=-1)
-    empty = np.zeros((B, 1, 8), np.float32)
+    # the no-disturbance schedule, batched (disturbance.empty keeps the
+    # 8-column row layout defined in one place)
+    sched = jnp.broadcast_to(disturbance.empty(dtype)[None],
+                             (B,) + disturbance.empty(dtype).shape)
     return Scenario(mu_map=mu,
                     target_xy=jnp.asarray(targets, dtype),
-                    dist_sched=jnp.asarray(empty, dtype),
+                    dist_sched=sched,
                     spawn_xy=jnp.asarray(spawns, dtype),
                     spawn_yaw=jnp.zeros(B, dtype))
 
@@ -110,6 +113,10 @@ def main():
             t0 = time.perf_counter()
             states = sweep.init_batch(cfg, scn)
             slip, conv, rob = [], [], []
+            # cycles actually simulated: whole chunks only (trailing
+            # cycles of a non-multiple --cycles are dropped, and the
+            # reported cycles/sim_s must say so)
+            cycles_run = (n_cycles // chunk) * chunk
             for _ in range(n_cycles // chunk):
                 states, m = sweep.step_batch(cfg, scn, states, chunk)
                 slip.append(np.asarray(m.slip_ticks))
@@ -124,14 +131,16 @@ def main():
                                   - np.asarray(scn.target_xy), axis=-1)
             print(json.dumps({
                 "case": case, "config": config_name,
-                "B": args.batch, "cycles": n_cycles,
-                "sim_s": round(n_cycles * (1.0 if cfg.gait.mode ==
-                                           "adaptive" else 0.5), 1),
+                "B": args.batch, "cycles": cycles_run,
+                "sim_s": round(cycles_run * (1.0 if cfg.gait.mode ==
+                                             "adaptive" else 0.5), 1),
                 "fell_pct": round(100 * float(np.mean(upright < 0.7)), 2),
                 "slip_frac": round(float(np.mean(np.stack(slip))), 4),
                 "progress_m": round(float(np.mean(progress)), 3),
                 "goal_dist": round(float(np.mean(goal)), 3),
-                "rob_mean": round(float(np.mean(rob[-1])), 3),
+                # steady-state tail: the LAST chunk's mean robustness
+                # (slip_frac/qp_conv average all chunks)
+                "rob_final": round(float(np.mean(rob[-1])), 3),
                 "qp_conv": round(float(np.mean(np.stack(conv))), 3),
                 "wall_s": round(wall, 1),
             }), flush=True)

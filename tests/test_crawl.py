@@ -2,6 +2,7 @@
 C7-C10, dead code there — live here)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,6 +13,8 @@ from apf_quadruped_tpu.runtime import loop
 from apf_quadruped_tpu.sim import disturbance, terrain
 
 # crawl cycle is 1 s -> MPC knots at 0.05 s to cover it
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
+
 CFG = EngineConfig(
     gait=GaitConfig(mode="crawl"),
     mpc=MpcConfig(horizon=20, dt=0.05),

@@ -17,6 +17,8 @@ from apf_quadruped_tpu.config import EngineConfig, GaitConfig, SimConfig
 from apf_quadruped_tpu.runtime import loop
 from apf_quadruped_tpu.sim import disturbance, terrain
 
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
+
 DT = jnp.float64
 SIMC = SimConfig(terrain_res=128)
 

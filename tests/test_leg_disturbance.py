@@ -8,12 +8,15 @@ physics.step applies it through the contact Jacobian (J_c' f).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from apf_quadruped_tpu.config import EngineConfig
 from apf_quadruped_tpu.runtime import loop
 from apf_quadruped_tpu.sim import disturbance, physics, terrain
+
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
 
 DT = jnp.float64
 CFG = EngineConfig()

@@ -19,6 +19,8 @@ from apf_quadruped_tpu.sim import disturbance, terrain
 # Measured closed-loop health at this config: qp_converged 0.97 in BOTH
 # f32 and f64 (the residual ~3% are genuine contact-transition ticks at
 # the iteration budget, not a precision floor — identical across dtypes).
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
+
 CFG = EngineConfig(solver=SolverConfig(),
                    wbc=WbcConfig(slack_weight_trot=1e6))
 DT = jnp.float64

@@ -15,6 +15,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
+
 @pytest.mark.skipif(not os.environ.get("APF_MULTIHOST"),
                     reason="set APF_MULTIHOST=1 to run the 2-process group")
 def test_multihost_parity():

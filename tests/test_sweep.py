@@ -4,6 +4,7 @@ checkpoint round-trip."""
 import tempfile
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,6 +13,8 @@ from apf_quadruped_tpu.config import (EngineConfig, GaitConfig, MpcConfig,
 from apf_quadruped_tpu.runtime import checkpoint, loop, sweep
 
 # tiny config: these tests check plumbing, not behavior
+pytestmark = pytest.mark.slow  # f64 closed-loop scans (see pytest.ini tiering)
+
 CFG = EngineConfig(
     gait=GaitConfig(trot_cycle=0.1),
     mpc=MpcConfig(horizon=4, dt=0.025),

@@ -103,6 +103,7 @@ def test_zoo_stance_reachable():
         assert np.abs(feet - tgt).max() < 1e-5, name
 
 
+@pytest.mark.slow
 def test_anymal_walks_closed_loop():
     """ANYmal trots end-to-end: APF -> MPC -> WBC -> sim, 8 cycles (4 s).
 
@@ -123,6 +124,7 @@ def test_anymal_walks_closed_loop():
     assert np.asarray(m.track_err).max() < 0.05
 
 
+@pytest.mark.slow
 def test_hyq_stands_closed_loop():
     """HyQ holds its stance through the full WBC + sim stack (2 cycles,
     zero target displacement): heavy-robot sanity for the parametrized
