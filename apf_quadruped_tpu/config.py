@@ -173,6 +173,21 @@ class WbcConfig:
     slack_weight_crawl: float = 1e4  # main.cpp:2976
     mu: float = 0.5                # friction coefficient (main.cpp:1511)
     joint_dt: float = 0.025        # joint-limit lookahead (main.cpp:1638)
+    # Fold joint VELOCITY limits (RobotConfig.qd_max, xacro vel 6 rad/s,
+    # dogbot.xacro:242-251) into the joint-acceleration rows as
+    # qdd <= (qd_max - qd)/qd_dt (and the mirrored lower bound) — the
+    # same one-step-lookahead construction the reference applies to the
+    # POSITION limits (main.cpp:1638-1647).  OPT-IN, default off, for two
+    # measured reasons: (a) the reference has no velocity rows (parity);
+    # (b) this control design — the reference's — tracks swing splines
+    # with a 1e6..1e8 soft weight and kp=300, which commands |qdd| spikes
+    # of ~1100 rad/s^2 at phase transitions in a HEALTHY flat-ground trot;
+    # hard velocity rows clip those spikes, the soft-tracking gap can no
+    # longer close, and the closed loop degrades from qp_converged 0.96 /
+    # walking to 0.06-0.25 / falling (even at qd_max = 12, twice the
+    # xacro limit).  Use for robots/gaits tuned with gentler tracking.
+    qd_limit: bool = False
+    qd_dt: float = 0.0025      # one control tick (velocity integrates per tick)
     # Build the QP with the reference's EXACT formulation quirks (used by
     # the parity tests; off by default because both quirks are physically
     # wrong-or-arbitrary choices the reference makes, not features):

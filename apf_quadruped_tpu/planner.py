@@ -47,6 +47,14 @@ class MpcRefs(NamedTuple):
     feet_w: jnp.ndarray      # (.., H, 4, 3) foothold positions (world)
     x_ref: jnp.ndarray       # (.., H, NX) state references
     yaw_ref: jnp.ndarray     # (..,) linearization yaw
+    # optional (.., H, 4, 3, 3) terrain-aligned cone bases per foothold
+    # (terrain.cone_basis; columns t1, t2, n).  None = world-z cones (the
+    # reference app's FlatGround, topt.cpp:9).  When given, the friction
+    # pyramid is built about the TERRAIN NORMAL at each foothold, matching
+    # towr's ForceConstraint basis (force_constraint.cc:72-83) — realized
+    # as a change of force variables (see _rotate_B), so the solver's
+    # constant pyramid block and the Pallas kernels are untouched.
+    cone_rot: jnp.ndarray | None = None
 
 
 class MpcPlan(NamedTuple):
@@ -126,6 +134,28 @@ def _condense(A, B, x0):
     Sx_x0 = jnp.moveaxis(frees, 0, -2)                     # (.., H, NX)
     Su = jnp.moveaxis(forceds, 0, -3)                      # (.., H, NX, H*NU)
     return Sx_x0, Su
+
+
+def _rotate_B(B, cone_rot):
+    """Change of force variables u_world = C u_local, folded into the
+    input matrix: B_local = B_world @ blockdiag(C_1..C_4) per knot.
+
+    B: (.., H, NX, 12), cone_rot: (.., H, 4, 3, 3) with f_w = C @ f_l.
+    With forces expressed in the local (t1, t2, n) basis, the CONSTANT
+    world-z pyramid block of _pyramid_constants enforces the cone about
+    the terrain normal — per-knot cone orientation becomes dynamics data
+    (B is already per-knot), never a constraint-shape change.
+    """
+    Bl = B.reshape(B.shape[:-1] + (4, 3))
+    Bl = jnp.einsum("...xlj,...lji->...xli", Bl, cone_rot)
+    return Bl.reshape(B.shape)
+
+
+def _forces_to_world(u, cone_rot):
+    """u: (.., H, 12) local-basis forces -> world: f_w = C @ f_l per leg."""
+    ul = u.reshape(u.shape[:-1] + (4, 3))
+    uw = jnp.einsum("...lji,...li->...lj", cone_rot, ul)
+    return uw.reshape(u.shape)
 
 
 def _pyramid_constants(cfg: EngineConfig):
@@ -275,16 +305,22 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
     mask = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
 
     def solve(A, B):
+        if refs.cone_rot is not None:
+            B = _rotate_B(B, refs.cone_rot)      # solve in the cone basis
         qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
                      G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
                      mask=mask, x0=state0)
         if backend == "riccati_fused":
             from .ops.pallas_riccati import solve_stage_qp_fused
-            return solve_stage_qp_fused(qp, cfg.solver)
-        if backend == "riccati_resident":
+            sol = solve_stage_qp_fused(qp, cfg.solver)
+        elif backend == "riccati_resident":
             from .ops.pallas_riccati import solve_stage_qp_resident
-            return solve_stage_qp_resident(qp, cfg.solver)
-        return solve_stage_qp(qp, cfg.solver)
+            sol = solve_stage_qp_resident(qp, cfg.solver)
+        else:
+            sol = solve_stage_qp(qp, cfg.solver)
+        if refs.cone_rot is not None:
+            sol = sol._replace(u=_forces_to_world(sol.u, refs.cone_rot))
+        return sol
 
     sol = solve(A, B)
     for _ in range(max(1, mpc.sqp_iters) - 1):       # SQP outer loop
@@ -317,6 +353,8 @@ def _plan_condensed(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
             refs.contacts[..., k, :], mpc.dt),
         out_axes=(-3, -3))(jnp.arange(Hh))
 
+    if refs.cone_rot is not None:
+        B = _rotate_B(B, refs.cone_rot)          # solve in the cone basis
     Sx_x0, Su = _condense(A, B, state0)          # (..,H,NX), (..,H,NX,H*NU)
 
     # cost: sum_k |x_k - xref_k|^2_Q + |u|^2_R
@@ -375,6 +413,9 @@ def _plan_condensed(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
                 eq_mask=em, ineq_mask=ineq_mask)
     sol = solve_qp(qp, cfg.solver)
 
-    U = sol.x.reshape(batch + (Hh, 4, 3))
     states = Sx_x0 + jnp.einsum("...hnm,...m->...hn", Su, sol.x)
-    return MpcPlan(forces=U, states=states, sol=sol)
+    U_knots = sol.x.reshape(batch + (Hh, NU))
+    if refs.cone_rot is not None:
+        U_knots = _forces_to_world(U_knots, refs.cone_rot)
+    return MpcPlan(forces=U_knots.reshape(batch + (Hh, 4, 3)),
+                   states=states, sol=sol)

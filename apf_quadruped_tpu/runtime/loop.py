@@ -66,6 +66,7 @@ class CycleMetrics(NamedTuple):
     crawling: jnp.ndarray     # () bool — crawl combo engaged this cycle
     slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
     tau_max: jnp.ndarray      # () peak |tau| over the cycle
+    qdd_max: jnp.ndarray      # () peak |joint accel| commanded (rad/s^2)
     track_err: jnp.ndarray    # () mean CoM tracking error during cycle
     # () mean fraction of (leg, tick) pairs in the early-touch-down
     # latched state (swing cut short on measured contact)
@@ -151,6 +152,11 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         gait_flag, jnp.asarray(0.0, dtype), cfg.mpc.dt, cfg.mpc.horizon,
         cycle, dtype=dtype)
     feet_sched = planner.foothold_schedule(feet_w, step_targets3, contacts_h)
+    # terrain-aligned friction-cone bases at the scheduled footholds
+    # (towr force_constraint.cc:72-83); None on flat worlds, where the
+    # basis is identically I and the rotation work would be wasted
+    cone_rot = (terrain_mod.cone_basis(terr, feet_sched[..., 0:2])
+                if terr.h_map is not None else None)
     rpy_now = _rpy(st.sim.R_wb)
     x_ref = planner.reference_trajectory(
         cfg, rpy_now, jnp.concatenate(
@@ -162,7 +168,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     x0 = srb.pack_state(rpy_now, com_w, st.sim.u[3:6], v_com)
     plan = planner.plan(cfg, x0, planner.MpcRefs(
         contacts=contacts_h, feet_w=feet_sched, x_ref=x_ref,
-        yaw_ref=rpy_now[2]))
+        yaw_ref=rpy_now[2], cone_rot=cone_rot))
 
     # ---- 3. 400 Hz tracking -------------------------------------------
     liftoff_feet = feet_w                     # positions at cycle start
@@ -185,6 +191,10 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         sw_pos, sw_vel, sw_acc = swing.swing_ref(
             liftoff_feet, step_targets3, cfg.mpc.swing_height, tau_ph, dur)
 
+        if cfg.gait.early_td or terr.h_map is not None:
+            feet_now = rbd.foot_positions_world(
+                robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
+
         if cfg.gait.early_td:
             # early touch-down (reference main.cpp:2027-2028, 3249-3264:
             # contact && t > dur - 0.05 -> flag_exit cuts the swing
@@ -196,8 +206,6 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
             near_end = t > info["t_end"] - cfg.gait.early_td_window
             is_swing = contact < 0.5
             touched = prev_contact & is_swing & near_end
-            feet_now = rbd.foot_positions_world(
-                robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
             newly = touched & ~td_flag
             td_pos = jnp.where(newly[:, None], feet_now, td_pos)
             td_flag = (td_flag | touched) & is_swing
@@ -224,6 +232,11 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         wst = wbc.WbcState(p_base=sim_st.p_base, R_wb=sim_st.R_wb,
                            q=sim_st.q, u=sim_st.u, contact=contact,
                            crawl=crawling)
+        if terr.h_map is not None:
+            # tilt the WBC friction pyramids to the local surface normal
+            # (the sim contact already acts along it, physics.py:69-99)
+            wst = wst._replace(
+                cone_rot=terrain_mod.cone_basis(terr, feet_now[:, 0:2]))
         out = wbc.solve(cfg, wst, ref)
 
         fd, ff = disturbance.eval_links(dist_sched, sim_st.t)
@@ -241,11 +254,13 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         return ((sim_st, ast, td_flag, td_pos, cinfo.in_contact),
                 (out.sol.converged, cinfo.slipping.any(),
                  jnp.abs(out.tau).max(), track_err,
-                 jnp.mean(td_flag.astype(dtype))))
+                 jnp.mean(td_flag.astype(dtype)),
+                 jnp.abs(out.udot[6:18]).max()))
 
     carry0 = (st.sim, ast, jnp.zeros(4, bool), liftoff_feet,
               jnp.zeros(4, bool))
-    (sim_st, ast, _, _, _), (conv, slip, taumax, terr_track, td_frac) = (
+    (sim_st, ast, _, _, _), (conv, slip, taumax, terr_track, td_frac,
+                             qddmax) = (
         jax.lax.scan(tick, carry0, jnp.arange(n_ticks)))
 
     com_end = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
@@ -259,6 +274,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         crawling=crawling,
         slip_ticks=jnp.mean(slip.astype(dtype)),
         tau_max=jnp.max(taumax),
+        qdd_max=jnp.max(qddmax),
         track_err=jnp.mean(terr_track),
         early_td_frac=jnp.mean(td_frac))
     return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,

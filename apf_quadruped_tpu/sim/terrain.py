@@ -106,6 +106,29 @@ def sample_normal(t: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+def basis_from_normal(n: jnp.ndarray) -> jnp.ndarray:
+    """(.., 3, 3) rotation C with COLUMNS (t1, t2, n): f_world = C @ f_local,
+    where f_local = (tangential1, tangential2, normal) components.
+
+    The towr ForceConstraint builds its friction pyramid on exactly this
+    per-foothold basis (reference force_constraint.cc:72-83:
+    GetNormalizedBasis(Normal/Tangent1/Tangent2)); here the tangents come
+    from projecting world-x onto the tangent plane (well-defined for any
+    walkable slope, where n_z dominates).  For n = z-hat, C = I.
+    """
+    ex = jnp.zeros_like(n).at[..., 0].set(1.0)
+    t1 = ex - jnp.sum(ex * n, axis=-1, keepdims=True) * n
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([t1, t2, n], axis=-1)
+
+
+def cone_basis(t: Terrain, xy: jnp.ndarray) -> jnp.ndarray:
+    """(.., 3, 3) terrain-aligned friction-cone basis at world xy;
+    identity on flat terrains."""
+    return basis_from_normal(sample_normal(t, xy))
+
+
 def _grid(cfg: SimConfig):
     xs = (np.arange(cfg.terrain_res) + 0.5) / cfg.terrain_res
     xs = xs * 2 * cfg.terrain_extent - cfg.terrain_extent

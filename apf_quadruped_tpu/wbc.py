@@ -65,6 +65,12 @@ class WbcState(NamedTuple):
     # gait switch stays branch-free.  (numpy scalar default so tree ops
     # like stacking/vmapping WbcState pytrees see an array leaf)
     crawl: jnp.ndarray = _np.bool_(False)
+    # (4, 3, 3) terrain-aligned friction-cone basis per foot (columns
+    # t1, t2, n; terrain.cone_basis) — the pyramid rows are built on it,
+    # matching towr's ForceConstraint basis (force_constraint.cc:72-83).
+    # Identity = world-z cones (flat ground, the reference's only case).
+    cone_rot: jnp.ndarray = _np.ascontiguousarray(
+        _np.broadcast_to(_np.eye(3), (4, 3, 3)))
 
 
 class WbcRefs(NamedTuple):
@@ -206,14 +212,19 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
     G = jnp.zeros((NINEQ, NX), dtype)
     hvec = jnp.zeros(NINEQ, dtype)
     mu = w.mu
-    # friction pyramid rows (5 per foot), main.cpp:1601-1625
+    # friction pyramid rows (5 per foot), main.cpp:1601-1625, built on the
+    # per-foot terrain basis: a world-z row [c1 c2 c3] generalizes to
+    # c1 t1 + c2 t2 + c3 n = [c1 c2 c3] @ C_i' (identity C_i reproduces
+    # the reference's flat-ground rows bit-for-bit)
     cfr = jnp.asarray([[1.0, 0.0, -mu],
                        [0.0, 1.0, -mu],
                        [-1.0, 0.0, -mu],
                        [0.0, -1.0, -mu],
                        [0.0, 0.0, -1.0]], dtype)
+    cone = st.cone_rot.astype(dtype)                  # (4, 3, 3)
     for i in range(4):
-        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(cfr)
+        G = G.at[5 * i:5 * i + 5, 18 + 3 * i:21 + 3 * i].set(
+            cfr @ cone[i].T)
     pyr_mask = c4[:, None].repeat(5, 1).reshape(20)
     # torque rows: tau = (M udot + h - Jc' f)[6:18]
     tau_rows_u = M[6:18, :]
@@ -232,6 +243,17 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
     qmax = jnp.asarray(qmax_np, dtype)
     ddqmax = dt2 * (qmax - st.q - w.joint_dt * st.u[6:18])
     ddqmin = dt2 * (qmin - st.q - w.joint_dt * st.u[6:18])
+    if w.qd_limit and not w.ref_exact:
+        # joint VELOCITY limits (xacro vel 6 rad/s) as acceleration bounds
+        # over ONE control tick: qd + qd_dt qdd in [-qd_max, qd_max]
+        inv_dt = 1.0 / w.qd_dt
+        ddqmax = jnp.minimum(ddqmax,
+                             (cfg.robot.qd_max - st.u[6:18]) * inv_dt)
+        ddqmin = jnp.maximum(ddqmin,
+                             (-cfg.robot.qd_max - st.u[6:18]) * inv_dt)
+        # a joint already outside a limit can cross the bounds; keep the
+        # row pair feasible (max braking) instead of poisoning the QP
+        ddqmax = jnp.maximum(ddqmax, ddqmin)
     G = G.at[44:56, 6:18].set(jnp.eye(12, dtype=dtype))
     hvec = hvec.at[44:56].set(ddqmax)
     G = G.at[56:68, 6:18].set(-jnp.eye(12, dtype=dtype))

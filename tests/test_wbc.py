@@ -121,6 +121,44 @@ def test_swing_tracking():
     assert a_feet[3, 2] > 1.0
 
 
+def test_joint_velocity_limit_rows():
+    """A joint already at the velocity limit (qd_max = 6 rad/s,
+    dogbot.xacro:242-251) may not be commanded to accelerate further:
+    qdd <= (qd_max - qd)/qd_dt (WbcConfig.qd_limit folding, opt-in).  A
+    huge swing-tracking demand drives the swing knees hard; at qd = qd_max
+    the admissible qdd upper bound is exactly 0."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, wbc=dataclasses.replace(CFG.wbc, qd_limit=True))
+    st = standing_state()._replace(contact=jnp.asarray([0.0, 1.0, 1.0, 0.0]))
+    # swing legs BR (joints 0-2) and FR (joints 9-11, leg-major) already
+    # at the velocity limit; stance legs at rest so no-slip stays feasible
+    u = jnp.zeros(18).at[6:18].set(
+        jnp.asarray([0.0, ROBOT.qd_max, ROBOT.qd_max, 0.0, 0.0, 0.0,
+                     0.0, 0.0, 0.0, 0.0, ROBOT.qd_max, ROBOT.qd_max]))
+    st = st._replace(u=u)
+    ref = hold_refs(st)
+    feet = rbd.foot_positions_world(ROBOT, st.p_base, st.R_wb, st.q)
+    tgt = feet + jnp.asarray([[0.0, 0.1, 0.1]]) * jnp.asarray(
+        [[1.0], [0.0], [0.0], [1.0]])
+    ref = ref._replace(swing_pos=tgt,
+                       swing_vel=jnp.zeros((4, 3)))
+    out = wbc.solve(cfg, st, ref)
+    # the 1e6-weighted soft swing cost against a hard ZERO qdd bound keeps
+    # the ABSOLUTE duality gap large (weight x violation^2), so the
+    # abstol-based converged flag cannot fire; the primal residual is the
+    # meaningful health signal here
+    assert float(out.sol.res_norm) < 1e-2
+    qdd = np.asarray(out.udot)[6:18]
+    dt = cfg.wbc.qd_dt
+    qd = np.asarray(u[6:18])
+    ub = (ROBOT.qd_max - qd) / dt
+    assert (qdd <= ub + 1e-6).all(), f"qdd={qdd}, ub={ub}"
+    # the limited joints sit AT (or below) the zero bound
+    lim = qd >= ROBOT.qd_max - 1e-9
+    assert (qdd[lim] <= 1e-6).all()
+
+
 def test_batched_vmap():
     st = standing_state()
     ref = hold_refs(st)
