@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu.config import EngineConfig
 from apf_quadruped_tpu.runtime import observer
@@ -13,6 +14,7 @@ CFG = EngineConfig()
 DT = jnp.float64
 
 
+@pytest.mark.slow
 def test_observer_recovers_push():
     st = physics.initial_state(CFG, dtype=DT)
     terr = terrain.flat(CFG.sim, dtype=DT)

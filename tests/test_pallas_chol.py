@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu.ops.pallas_chol import chol_solve_blocked
 
@@ -11,6 +12,7 @@ def _spd(rng, B, n):
     return np.einsum("bij,bkj->bik", M, M) + n * np.eye(n)
 
 
+@pytest.mark.slow
 def test_matches_numpy_solve(rng):
     B, n, k = 37, 12, 3                        # non-multiple of 128
     H = _spd(rng, B, n)

@@ -67,6 +67,7 @@ def test_fused_nondiagonal_costs(rng):
     _compare(make_problem(rng, diag_q=False), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_mpc_sized(rng):
     """Production shape: H=20, NX=13, NU=12, M=24 (the planner's QP)."""
     qp = make_problem(rng, B=3, H=20, NX=13, NU=12, M=24)
@@ -178,3 +179,62 @@ def test_resident_masks_and_quarantine(rng):
     for b in (0, 1, 3):
         np.testing.assert_allclose(np.asarray(bad.u[b]),
                                    np.asarray(ref.u[b]), atol=5e-5)
+
+
+def test_warm_start_invalid_equals_cold(rng):
+    """An all-False WarmStart must reproduce the cold path bit-for-bit
+    (the first cycle of a scanned closed loop carries exactly this)."""
+    from apf_quadruped_tpu.ops.pallas_riccati import solve_stage_qp_resident
+    from apf_quadruped_tpu.ops.riccati import WarmStart
+
+    qp = make_problem(rng, B=4)
+    cold = solve_stage_qp_resident(qp, CFG)
+    Hh, NU, M = qp.A.shape[-3], qp.B.shape[-1], qp.h.shape[-1]
+    off = WarmStart(u=jnp.zeros((4, Hh, NU), jnp.float32),
+                    z=jnp.zeros((4, Hh, M), jnp.float32),
+                    s=jnp.zeros((4, Hh, M), jnp.float32),
+                    valid=jnp.zeros(4, bool))
+    out = solve_stage_qp_resident(qp, CFG, warm=off)
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(cold.u))
+    np.testing.assert_array_equal(np.asarray(out.iters),
+                                  np.asarray(cold.iters))
+
+
+def test_warm_start_cuts_iterations(rng):
+    """Warm-starting from the previous solution must converge in far
+    fewer iterations (PERF.md lever 1), agree with the scan backend given
+    the same warm start, and still satisfy tolerances."""
+    from apf_quadruped_tpu.ops.pallas_riccati import solve_stage_qp_resident
+    from apf_quadruped_tpu.ops.riccati import WarmStart
+
+    qp = make_problem(rng, B=4)
+    cold = solve_stage_qp_resident(qp, CFG)
+    assert np.asarray(cold.converged).all()
+    w = WarmStart(u=cold.u, z=cold.z, s=cold.s, valid=jnp.ones(4, bool))
+    hot = solve_stage_qp_resident(qp, CFG, warm=w)
+    hot_scan = solve_stage_qp(qp, CFG, warm=w)
+    assert np.asarray(hot.converged).all()
+    assert (np.asarray(hot.iters) <= np.asarray(cold.iters)).all()
+    assert np.asarray(hot.iters).mean() < np.asarray(cold.iters).mean()
+    np.testing.assert_array_equal(np.asarray(hot.iters),
+                                  np.asarray(hot_scan.iters))
+    np.testing.assert_allclose(np.asarray(hot.u), np.asarray(hot_scan.u),
+                               atol=5e-5)
+
+
+def test_warm_start_mixed_validity(rng):
+    """Per-lane valid flags: warm lanes converge fast, cold lanes follow
+    the cold path — in ONE call (the closed-loop sweep shape)."""
+    from apf_quadruped_tpu.ops.pallas_riccati import solve_stage_qp_resident
+    from apf_quadruped_tpu.ops.riccati import WarmStart
+
+    qp = make_problem(rng, B=4)
+    cold = solve_stage_qp_resident(qp, CFG)
+    valid = jnp.asarray([True, False, True, False])
+    w = WarmStart(u=cold.u, z=cold.z, s=cold.s, valid=valid)
+    out = solve_stage_qp_resident(qp, CFG, warm=w)
+    its, its_cold = np.asarray(out.iters), np.asarray(cold.iters)
+    assert (its[[0, 2]] <= its_cold[[0, 2]]).all()
+    np.testing.assert_array_equal(its[[1, 3]], its_cold[[1, 3]])
+    np.testing.assert_allclose(np.asarray(out.u[1]), np.asarray(cold.u[1]),
+                               atol=1e-6)

@@ -7,6 +7,7 @@ they are validated against mechanics first principles.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu.config import RobotConfig
 from apf_quadruped_tpu.models import rbd
@@ -94,6 +95,7 @@ def test_contact_bias_vs_fd():
     np.testing.assert_allclose(a, a_fd, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_energy_conservation_free_fall():
     """Unactuated, contact-free flight: E = T + V conserved under RK4.
 

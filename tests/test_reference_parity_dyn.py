@@ -26,6 +26,7 @@ swing/stance agree well under the 1e-3*mg tolerance.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu import wbc
 from apf_quadruped_tpu.config import EngineConfig, SolverConfig, WbcConfig
@@ -139,6 +140,7 @@ def moving_stance_state(robot, vy=0.12, wz=0.05):
     return st0._replace(u=u)
 
 
+@pytest.mark.slow
 def test_moving_state_full_stance_parity():
     """Full-stance QP at u != 0: the reference's BiasCOM / JdqdCOM carry
     the Tdot-transform terms (main.cpp:798, 810) — reconstruct them and
@@ -315,6 +317,7 @@ def test_trot_swing_qp_parity():
     assert dtau < 0.1, f"torque mismatch {dtau} Nm"
 
 
+@pytest.mark.slow
 def test_crawl_qp_parity():
     """Crawl QP (one swing leg, qpproblemcrawl main.cpp:2915-3266):
     3-stance pyramid, 15 equalities WITH bias/Jdot-qd (main.cpp:3037-3040),

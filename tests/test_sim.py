@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu.config import EngineConfig
 from apf_quadruped_tpu.models import rbd
@@ -28,6 +29,7 @@ def gravity_torques(st):
     return (h - J.T @ f)[6:18]
 
 
+@pytest.mark.slow
 def test_standing_with_gravity_compensation():
     """With static torques, the robot must stay up for 0.5 s of sim."""
     st = physics.initial_state(CFG, dtype=DT)
@@ -87,6 +89,7 @@ def test_ballistic_flight():
                                rtol=0.02)
 
 
+@pytest.mark.slow
 def test_slippery_patch_slips():
     """Gentle lateral push: feet slip on mu=0.05 ice (feet translate under
     the body) but hold on mu=0.8 ground."""

@@ -9,6 +9,7 @@ same contract is a rasterized grid with bilinear sampling (sim/terrain.py).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu.config import EngineConfig, SimConfig
 from apf_quadruped_tpu.models import rbd
@@ -154,6 +155,7 @@ def test_flat_path_unchanged_by_heightfield_code():
     assert np.allclose(np.asarray(a0), np.asarray(a1))
 
 
+@pytest.mark.slow
 def test_walks_up_gentle_ramp():
     """Closed loop on a uniform 6%-grade ramp: the robot must make forward
     progress AND gain height, with footholds/CoM refs following the
