@@ -226,6 +226,9 @@ class SolverConfig:
     refine_steps: int = 1            # iterative refinement of KKT solves
     min_slack: float = 1e-10
     w_clip: float = 1e6              # clamp on the z/s scaling (conditioning)
+    # warm starting (ops.riccati.WarmStart): floor applied to a previous
+    # solve's z/s so the start point sits strictly in the interior
+    warm_floor: float = 1e-3
     # route the per-stage SPD factor+solve through the fused batch-on-lanes
     # Pallas kernel (ops/pallas_chol.py) instead of XLA cholesky+trisolve.
     # MEASURED on device (r3): 3.4x throughput for the scan backend
@@ -289,6 +292,28 @@ class MpcConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FootholdConfig:
+    """Decision-influenced foothold selection (foothold.py) — the towr
+    foothold-optimization role (nlp_formulation.cc:128-158,
+    range_of_motion_constraint.cc:45-78) as a branch-free K-candidate
+    search over the terrain mu map.  On uniform friction the zero offset
+    wins exactly, so flat-ground behavior is unchanged."""
+
+    enabled: bool = True
+    grid_n: int = 3            # n x n candidate grid (K = n^2)
+    spread: float = 1.0        # grid half-width as a fraction of max_dev xy
+    # score weights.  Scales: the mu term spans ~0.65 across the reference
+    # worlds (mu_hi 0.8 vs hard patches 0.15); the distance term at the
+    # RoM box edge is w_dist * max_dev^2 ~ 20 * 0.0225 = 0.45 < 0.65, so
+    # escaping a hard patch is always worth the full box but a mild
+    # mu difference is not worth a large step perturbation.
+    w_mu: float = 1.0
+    w_dist: float = 20.0
+    w_slope: float = 1.0       # height-map steepness penalty (1 - n_z)
+    mu_hi: float = 0.8         # "good ground" mu (the easy-patch value)
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Pure-JAX simulation harness (the Gazebo replacement)."""
 
@@ -311,6 +336,8 @@ class EngineConfig:
     wbc: WbcConfig = dataclasses.field(default_factory=WbcConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     mpc: MpcConfig = dataclasses.field(default_factory=MpcConfig)
+    foothold: FootholdConfig = dataclasses.field(
+        default_factory=FootholdConfig)
     sim: SimConfig = dataclasses.field(default_factory=SimConfig)
 
     def replace(self, **kwargs) -> "EngineConfig":

@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .. import apf, gait, planner, swing, wbc
+from .. import apf, foothold, gait, planner, swing, wbc
 from ..config import EngineConfig
 from ..models import rbd, srb
 from ..sim import disturbance, physics
@@ -51,6 +51,15 @@ class LoopState(NamedTuple):
     # () bool — adaptive-mode gait memory (crawl engaged); hysteresis on
     # the robustness index needs last cycle's decision
     crawling: jnp.ndarray
+    # previous cycle's MPC solution carried as the next solve's warm
+    # start (ops.riccati.WarmStart; PERF.md lever 1 — closed-loop plans
+    # change little per replan).  Leg-permuted at store time for the
+    # phase-mirrored trot pair (gait flags 1<->2); warm_valid gates the
+    # first cycle's cold start so shapes stay static under lax.scan.
+    warm_u: jnp.ndarray       # (H, 12) world-frame knot forces
+    warm_z: jnp.ndarray       # (H, 24) duals
+    warm_s: jnp.ndarray       # (H, 24) slacks
+    warm_valid: jnp.ndarray   # () bool
 
 
 class CycleMetrics(NamedTuple):
@@ -67,6 +76,10 @@ class CycleMetrics(NamedTuple):
     slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
     tau_max: jnp.ndarray      # () peak |tau| over the cycle
     qdd_max: jnp.ndarray      # () peak |joint accel| commanded (rad/s^2)
+    # () mean terrain mu under the cycle's chosen step targets — the
+    # foothold-selection observable (higher = footholds avoid slippery
+    # cells; compare foothold.enabled on/off)
+    foot_mu: jnp.ndarray
     track_err: jnp.ndarray    # () mean CoM tracking error during cycle
     # () mean fraction of (leg, tick) pairs in the early-touch-down
     # latched state (swing cut short on measured contact)
@@ -135,6 +148,15 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     cycle = jnp.asarray(cycle_s, dtype)
     n_ticks = int(round(cycle_s / cfg.sim.dt))
 
+    # decision-influenced foothold selection inside the RoM box (the towr
+    # foothold-optimization role, foothold.py): avoid low-mu / steep
+    # cells near the APF step targets.  Exactly the APF targets on
+    # uniform ground.
+    step_xy = nav.step_targets
+    if cfg.foothold.enabled:
+        step_xy = foothold.optimize(cfg.foothold, robot, terr, step_xy,
+                                    nav.com_des)
+
     # foothold/CoM heights follow the terrain height field (the towr
     # TerrainConstraint role: feet land ON the terrain surface;
     # flat terrains sample 0 and reduce to the reference's FlatGround)
@@ -143,8 +165,8 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
          (terrain_mod.sample_height(terr, nav.com_des)
           + robot.com_height)[None]])
     step_targets3 = jnp.concatenate(
-        [nav.step_targets,
-         (terrain_mod.sample_height(terr, nav.step_targets)
+        [step_xy,
+         (terrain_mod.sample_height(terr, step_xy)
           + robot.foot_radius)[:, None]], axis=-1)
 
     # ---- 2. MPC plan over the cycle ------------------------------------
@@ -166,9 +188,29 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         com_des3, rpy_now[2], cycle)
     v_com = rbd.com_jacobian(robot, st.sim.R_wb, st.sim.q) @ st.sim.u
     x0 = srb.pack_state(rpy_now, com_w, st.sim.u[3:6], v_com)
+    riccati_backend = planner.effective_backend(cfg).startswith("riccati")
+    warm = None
+    if riccati_backend:
+        from ..ops.riccati import WarmStart
+        warm = WarmStart(u=st.warm_u, z=st.warm_z, s=st.warm_s,
+                         valid=st.warm_valid)
     plan = planner.plan(cfg, x0, planner.MpcRefs(
         contacts=contacts_h, feet_w=feet_sched, x_ref=x_ref,
-        yaw_ref=rpy_now[2], cone_rot=cone_rot))
+        yaw_ref=rpy_now[2], cone_rot=cone_rot), warm=warm)
+
+    # stash this solve for the next cycle's warm start.  Consecutive trot
+    # cycles mirror the swing pair (flags 1<->2, strides bP..<->Pb..), so
+    # the stored solution is leg-permuted BR<->BL, FL<->FR; crawl and
+    # adaptive cycles share one schedule (identity).
+    if riccati_backend:
+        perm = (1, 0, 3, 2) if cfg.gait.mode == "trot" else (0, 1, 2, 3)
+        Hh = cfg.mpc.horizon
+        u_next = plan.forces[:, perm, :].reshape(Hh, 12)
+        z_next = plan.sol.z.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
+        s_next = plan.sol.s.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
+        warm_next = (u_next, z_next, s_next, jnp.asarray(True))
+    else:
+        warm_next = (st.warm_u, st.warm_z, st.warm_s, st.warm_valid)
 
     # ---- 3. 400 Hz tracking -------------------------------------------
     liftoff_feet = feet_w                     # positions at cycle start
@@ -275,10 +317,13 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         slip_ticks=jnp.mean(slip.astype(dtype)),
         tau_max=jnp.max(taumax),
         qdd_max=jnp.max(qddmax),
+        foot_mu=jnp.mean(terrain_mod.sample_mu(terr, step_xy)),
         track_err=jnp.mean(terr_track),
         early_td_frac=jnp.mean(td_frac))
     return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,
-                     crawling=crawling), metrics
+                     crawling=crawling, warm_u=warm_next[0],
+                     warm_z=warm_next[1], warm_s=warm_next[2],
+                     warm_valid=warm_next[3]), metrics
 
 
 def _rpy(R):
@@ -300,7 +345,12 @@ def run(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
 
 def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
          dtype=jnp.float32) -> LoopState:
+    Hh = cfg.mpc.horizon
     return LoopState(sim=physics.initial_state(cfg, xy, yaw, dtype),
                      apf=apf.init_state((), dtype),
                      cycle_idx=jnp.asarray(0, jnp.int32),
-                     crawling=jnp.asarray(cfg.gait.mode == "crawl"))
+                     crawling=jnp.asarray(cfg.gait.mode == "crawl"),
+                     warm_u=jnp.zeros((Hh, 12), dtype),
+                     warm_z=jnp.zeros((Hh, 24), dtype),
+                     warm_s=jnp.zeros((Hh, 24), dtype),
+                     warm_valid=jnp.asarray(False))

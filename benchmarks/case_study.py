@@ -37,10 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_config(name: str):
-    from apf_quadruped_tpu.config import ApfConfig, EngineConfig, GaitConfig
+    from apf_quadruped_tpu.config import (ApfConfig, EngineConfig,
+                                          FootholdConfig, GaitConfig)
 
     if name == "naive":
-        return EngineConfig(apf=ApfConfig(crawl_threshold=-1.0))
+        # ALL slippage-aware machinery off, incl. foothold selection
+        return EngineConfig(apf=ApfConfig(crawl_threshold=-1.0),
+                            foothold=FootholdConfig(enabled=False))
+    if name == "aware_nofh":
+        # the r3 "aware" config: fake-crawl on, foothold selection OFF —
+        # isolates the foothold optimizer's contribution vs "aware"
+        return EngineConfig(foothold=FootholdConfig(enabled=False))
     if name == "aware":
         return EngineConfig()
     if name == "aware_rep":
@@ -112,7 +119,7 @@ def main():
             scn = build_scenarios(cfg, case, args.batch, args.seed, dtype)
             t0 = time.perf_counter()
             states = sweep.init_batch(cfg, scn)
-            slip, conv, rob = [], [], []
+            slip, conv, rob, fmu = [], [], [], []
             # cycles actually simulated: whole chunks only (trailing
             # cycles of a non-multiple --cycles are dropped, and the
             # reported cycles/sim_s must say so)
@@ -122,6 +129,7 @@ def main():
                 slip.append(np.asarray(m.slip_ticks))
                 conv.append(np.asarray(m.qp_converged))
                 rob.append(np.asarray(m.rob_mean))
+                fmu.append(np.asarray(m.foot_mu))
             jax.block_until_ready(states)
             wall = time.perf_counter() - t0
             final_com = np.asarray(states.sim.p_base)  # base ~ CoM xy
@@ -141,6 +149,9 @@ def main():
                 # steady-state tail: the LAST chunk's mean robustness
                 # (slip_frac/qp_conv average all chunks)
                 "rob_final": round(float(np.mean(rob[-1])), 3),
+                # mean terrain mu under the CHOSEN step targets: the
+                # foothold-selection observable (aware vs aware_nofh)
+                "foot_mu": round(float(np.mean(np.stack(fmu))), 3),
                 "qp_conv": round(float(np.mean(np.stack(conv))), 3),
                 "wall_s": round(wall, 1),
             }), flush=True)
