@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SolverConfig
-from .riccati import StageQP, StageSolution
+from .riccati import StageQP, StageSolution, WarmStart
 
 LANES = 128
 
@@ -339,17 +339,18 @@ def _vector_call(G, A, B, L, D, K, rx, vm, interpret):
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def solve_stage_qp_fused(qp: StageQP, cfg: SolverConfig = SolverConfig(),
-                         interpret: bool | None = None) -> StageSolution:
+                         interpret: bool | None = None,
+                         warm: WarmStart | None = None) -> StageSolution:
     """Drop-in replacement for ops.riccati.solve_stage_qp using the fused
     batch-on-lanes kernels.  Semantics identical (validated in tests)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.default_matmul_precision("highest"):
-        return _solve_fused_impl(qp, cfg, interpret)
+        return _solve_fused_impl(qp, cfg, interpret, warm)
 
 
-def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
-                      interpret: bool) -> StageSolution:
+def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
+                      warm: WarmStart | None = None) -> StageSolution:
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -406,6 +407,12 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
     shift = jnp.maximum(0.0, jnp.max(r0, axis=(0, 1), keepdims=True)) + 1.0
     s = -r0 + shift
     z = jnp.maximum(r0, 0.0) + 1.0
+    if warm is not None:
+        floor = jnp.asarray(cfg.warm_floor, dt)
+        v = to_bl(warm.valid[..., None, None].astype(dt))[0, 0] > 0.5  # (Bp,)
+        u = jnp.where(v, to_bl(warm.u), u)
+        z = jnp.where(v, jnp.maximum(to_bl(warm.z), floor), z)
+        s = jnp.where(v, jnp.maximum(to_bl(warm.s), floor), s)
 
     qnorm = 1.0 + jnp.sqrt(jnp.sum(q_l * q_l, axis=(0, 1)))
     hnorm = 1.0 + jnp.sqrt(jnp.sum(h_l * h_l, axis=(0, 1)))
@@ -515,30 +522,45 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
-                w_clip, min_slack):
+                w_clip, min_slack, warm_floor):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
-    sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze."""
+    sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
+
+    Two additions over the 3-kernel pipeline (PERF.md levers 1 and 3):
+      * WARM START: per-lane valid flag selects a previous solve's
+        (u, z, s) — floored to warm_floor — over the cold init;
+      * EARLY EXIT: once EVERY lane of the 128-lane block has converged,
+        the remaining iterations' factor + two vector passes are skipped
+        via pl.when (the all-done check is one scalar reduction/iter).
+    """
 
     def kernel(g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref,
                a_ref, b_ref, qlin_ref, mask_ref, h_ref, x0_ref,
+               wu_ref, wz_ref, ws_ref, wv_ref,
                u_ref, x_ref, z_ref, s_ref, stat_ref,
                l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref,
-               kff_ref, gdu_ref, dua_ref, dza_ref, dsa_ref):
+               kff_ref, gdu_ref, dua_ref, dza_ref, dsa_ref, mures_ref):
         dt = x0_ref.dtype
         fone = jnp.ones((LANES,), dt)
+        valid = wv_ref[0] > 0.5                   # (LANES,) warm lanes
 
-        # ---- init: u = 0; s/z from the (pre-masked) h ------------------
+        # ---- init: u = 0 | warm u; s/z from the (pre-masked) h | warm --
         def init_k(k, mx):
-            u_ref[k] = jnp.zeros((nu, LANES), dt)
+            u_ref[k] = jnp.where(valid[None, :], wu_ref[k],
+                                 jnp.zeros((nu, LANES), dt))
             return jnp.maximum(mx, jnp.max(-h_ref[k], axis=0))
         r0max = jax.lax.fori_loop(0, H, init_k, jnp.full((LANES,), -jnp.inf,
                                                          dt))
         shift = jnp.maximum(0.0, r0max) + 1.0
 
         def init_sz(k, acc):
-            s_ref[k] = h_ref[k] + shift[None, :]
-            z_ref[k] = jnp.maximum(-h_ref[k], 0.0) + 1.0
+            s_ref[k] = jnp.where(valid[None, :],
+                                 jnp.maximum(ws_ref[k], warm_floor),
+                                 h_ref[k] + shift[None, :])
+            z_ref[k] = jnp.where(valid[None, :],
+                                 jnp.maximum(wz_ref[k], warm_floor),
+                                 jnp.maximum(-h_ref[k], 0.0) + 1.0)
             qn, hn, me = acc
             qn = qn + jnp.sum(qlin_ref[k] * qlin_ref[k], axis=0)
             hn = hn + jnp.sum(h_ref[k] * h_ref[k], axis=0)
@@ -702,51 +724,68 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
         # NOTE: the loop carry must be f32 vectors — Mosaic cannot
         # legalize scf.for with vector<i1>/vector<i32> iter_args (observed
         # on v5e), so done/it_conv ride as floats and are compared/cast
-        # at the use sites.
+        # at the use sites.  The heavy per-iteration work is wrapped in
+        # pl.when(not all done): once every lane in the block converges,
+        # remaining iterations cost one scalar check each.  mures_ref
+        # carries (mu, res) out of the predicated region; on skipped
+        # iterations it holds the converged values, so the carry update
+        # below is a no-op exactly as if the iteration had run.
         def body(it, carry):
             done_f, it_conv = carry
             done = done_f > 0.5
-            mu, res = rollout_residuals()
+
+            @pl.when(jnp.min(done_f) < 0.5)
+            def _work():
+                mu, res = rollout_residuals()
+                mures_ref[0] = mu
+                mures_ref[1] = res
+                now_in = (res < reltol) & (mu < abstol)
+                frozen = done | now_in
+
+                factor()
+
+                # predictor: rc = -s z  =>  rc/s_safe = -z (s>=min_slack)
+                rs, rzr = vector_pass(lambda k: -s_ref[k] * z_ref[k],
+                                      dua_ref, dza_ref, dsa_ref)
+                a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
+
+                def acc_mu(k, acc):
+                    return acc + jnp.sum(
+                        (s_ref[k] + a_a[None, :] * dsa_ref[k])
+                        * (z_ref[k] + a_a[None, :] * dza_ref[k])
+                        * mask_ref[k], axis=0)
+                mu_aff = jax.lax.fori_loop(0, H, acc_mu, 0.0 * fone) / m_eff
+                sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
+                                 0.0, 1.0) ** sigma_pow
+                sig_mu = sigma * mu
+
+                def rc_corr(k):
+                    return -(s_ref[k] * z_ref[k] + dsa_ref[k] * dza_ref[k]
+                             - sig_mu[None, :])
+                # corrector overwrites the predictor direction scratch
+                rs, rzr = vector_pass(rc_corr, dua_ref, dza_ref, dsa_ref)
+                a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
+                a = jnp.where(frozen, 0.0, a)
+
+                def upd(k, _):
+                    u_ref[k] = u_ref[k] + a[None, :] * dua_ref[k]
+                    z_ref[k] = jnp.maximum(
+                        z_ref[k] + a[None, :] * dza_ref[k], min_slack)
+                    s_ref[k] = jnp.maximum(
+                        s_ref[k] + a[None, :] * dsa_ref[k], min_slack)
+                    return 0
+                jax.lax.fori_loop(0, H, upd, 0)
+
+            mu = mures_ref[0]
+            res = mures_ref[1]
             now = (res < reltol) & (mu < abstol)
             it_conv = jnp.where(now & ~done, it.astype(dt) + 0.0 * fone,
                                 it_conv)
             done = done | now
-
-            factor()
-
-            # predictor: rc = -s z  =>  rc/s_safe = -z (s>=min_slack)
-            rs, rzr = vector_pass(lambda k: -s_ref[k] * z_ref[k],
-                                  dua_ref, dza_ref, dsa_ref)
-            a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
-
-            def acc_mu(k, acc):
-                return acc + jnp.sum(
-                    (s_ref[k] + a_a[None, :] * dsa_ref[k])
-                    * (z_ref[k] + a_a[None, :] * dza_ref[k])
-                    * mask_ref[k], axis=0)
-            mu_aff = jax.lax.fori_loop(0, H, acc_mu, 0.0 * fone) / m_eff
-            sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
-                             0.0, 1.0) ** sigma_pow
-            sig_mu = sigma * mu
-
-            def rc_corr(k):
-                return -(s_ref[k] * z_ref[k] + dsa_ref[k] * dza_ref[k]
-                         - sig_mu[None, :])
-            # corrector overwrites the predictor direction scratch
-            rs, rzr = vector_pass(rc_corr, dua_ref, dza_ref, dsa_ref)
-            a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
-            a = jnp.where(done, 0.0, a)
-
-            def upd(k, _):
-                u_ref[k] = u_ref[k] + a[None, :] * dua_ref[k]
-                z_ref[k] = jnp.maximum(z_ref[k] + a[None, :] * dza_ref[k],
-                                       min_slack)
-                s_ref[k] = jnp.maximum(s_ref[k] + a[None, :] * dsa_ref[k],
-                                       min_slack)
-                return 0
-            jax.lax.fori_loop(0, H, upd, 0)
             return done.astype(dt), it_conv
 
+        mures_ref[0] = jnp.zeros((LANES,), dt)
+        mures_ref[1] = jnp.full((LANES,), jnp.inf, dt)
         done0 = jnp.zeros((LANES,), dt)
         it0 = jnp.full((LANES,), iters, dt)
         done_f, it_conv = jax.lax.fori_loop(0, iters, body, (done0, it0))
@@ -765,7 +804,7 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
 
 
 def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-              interpret):
+              wu, wz, ws, wv, interpret):
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
@@ -774,7 +813,7 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
     kern = _ipm_kernel(H, nx, nu, m, int(cfg.iters), float(cfg.reltol),
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
-                       float(cfg.min_slack))
+                       float(cfg.min_slack), float(cfg.warm_floor))
     scratch = [
         pltpu.VMEM((H, nu, nu, LANES), dt),   # l
         pltpu.VMEM((H, nu, LANES), dt),       # d
@@ -788,6 +827,7 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         pltpu.VMEM((H, nu, LANES), dt),       # dua
         pltpu.VMEM((H, m, LANES), dt),        # dza
         pltpu.VMEM((H, m, LANES), dt),        # dsa
+        pltpu.VMEM((2, LANES), dt),           # mures (early-exit carry)
     ]
     return pl.pallas_call(
         kern,
@@ -796,7 +836,9 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
                   _cspec(rmatr.shape), _cspec(qmat.shape),
                   _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
                   _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
-                  _vspec((H, m, LANES)), _vspec((nx, LANES))],
+                  _vspec((H, m, LANES)), _vspec((nx, LANES)),
+                  _vspec((H, nu, LANES)), _vspec((H, m, LANES)),
+                  _vspec((H, m, LANES)), _vspec((1, LANES))],
         out_specs=[_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
                    _vspec((H, m, LANES)), _vspec((H, m, LANES)),
                    _vspec((8, LANES))],
@@ -808,26 +850,28 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0)
+    )(G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0, wu, wz, ws, wv)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
-                            interpret: bool | None = None) -> StageSolution:
+                            interpret: bool | None = None,
+                            warm: WarmStart | None = None) -> StageSolution:
     """One-kernel VMEM-resident variant of solve_stage_qp_fused: the whole
     fixed-iteration Mehrotra loop runs inside a single pallas_call, so
     problem data is read from HBM once per 128-lane block and no
     per-iteration array ever leaves VMEM.  Same algorithm, same outputs
     (validated against the scan and 3-kernel paths in
-    tests/test_pallas_riccati.py)."""
+    tests/test_pallas_riccati.py).  Supports per-lane warm starting and
+    all-lanes-converged early exit (see _ipm_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.default_matmul_precision("highest"):
-        return _solve_resident_impl(qp, cfg, interpret)
+        return _solve_resident_impl(qp, cfg, interpret, warm)
 
 
-def _solve_resident_impl(qp: StageQP, cfg: SolverConfig,
-                         interpret: bool) -> StageSolution:
+def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
+                         warm: WarmStart | None = None) -> StageSolution:
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -863,8 +907,20 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig,
     rmatr = qp.R.astype(dt)
     qmat = qp.Q.astype(dt)
 
+    if warm is not None:
+        wu = to_bl(warm.u)
+        wz = to_bl(warm.z)
+        ws = to_bl(warm.s)
+        wv = to_bl(warm.valid[..., None, None].astype(dt))[:, 0, :]  # (1,Bp)
+    else:
+        wu = jnp.zeros((Hh, nu, Bp), dt)
+        wz = jnp.zeros((Hh, m, Bp), dt)
+        ws = jnp.zeros((Hh, m, Bp), dt)
+        wv = jnp.zeros((1, Bp), dt)
+
     u, x, z, s, stat = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat,
-                                 A_l, B_l, q_l, mask, h_l, x0_l, interpret)
+                                 A_l, B_l, q_l, mask, h_l, x0_l,
+                                 wu, wz, ws, wv, interpret)
 
     def to_bf(v):
         v = jnp.moveaxis(v[..., :B], -1, 0)

@@ -125,13 +125,33 @@ def _chol_solve(L, r):
     return out[..., 0] if vec else out
 
 
+class WarmStart(NamedTuple):
+    """Previous-solve warm start for the stage-QP IPM (closed-loop replans
+    change little between cycles — PERF.md lever 1).
+
+    u: (.., H, NU), z/s: (.., H, M) — a previous StageSolution's fields,
+    possibly leg-permuted for a phase-mirrored gait cycle (runtime.loop).
+    valid: (..,) bool per lane; False lanes fall back to the cold init
+    (shapes stay static, so the first cycle of a scanned rollout can carry
+    an all-False WarmStart).  z/s are floored to cfg.warm_floor to push
+    the start back into the interior.
+    """
+
+    u: jnp.ndarray
+    z: jnp.ndarray
+    s: jnp.ndarray
+    valid: jnp.ndarray
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def solve_stage_qp(qp: StageQP, cfg: SolverConfig = SolverConfig()):
+def solve_stage_qp(qp: StageQP, cfg: SolverConfig = SolverConfig(),
+                   warm: WarmStart | None = None):
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(qp, cfg)
+        return _solve_impl(qp, cfg, warm)
 
 
-def _solve_impl(qp: StageQP, cfg: SolverConfig) -> StageSolution:
+def _solve_impl(qp: StageQP, cfg: SolverConfig,
+                warm: WarmStart | None = None) -> StageSolution:
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     Hh = qp.A.shape[-3]
@@ -259,6 +279,12 @@ def _solve_impl(qp: StageQP, cfg: SolverConfig) -> StageSolution:
     shift = jnp.maximum(0.0, jnp.max(r0, axis=(0, -1), keepdims=True)) + 1.0
     s_t = -r0 + shift
     z_t = jnp.maximum(r0, 0.0) + 1.0
+    if warm is not None:
+        floor = jnp.asarray(cfg.warm_floor, dt)
+        v = warm.valid[..., None]                         # (.., 1)
+        u_t = jnp.where(v, h_first(warm.u), u_t)
+        z_t = jnp.where(v, jnp.maximum(h_first(warm.z), floor), z_t)
+        s_t = jnp.where(v, jnp.maximum(h_first(warm.s), floor), s_t)
 
     qnorm = 1.0 + jnp.sqrt(jnp.sum(q_t * q_t, axis=(0, -1)))
     hnorm = 1.0 + jnp.sqrt(jnp.sum(h_t * h_t, axis=(0, -1)))

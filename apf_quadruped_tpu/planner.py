@@ -158,6 +158,30 @@ def _forces_to_world(u, cone_rot):
     return uw.reshape(u.shape)
 
 
+def _forces_to_local(u, cone_rot):
+    """Inverse of _forces_to_world: f_l = C' f_w per leg."""
+    uw = u.reshape(u.shape[:-1] + (4, 3))
+    ul = jnp.einsum("...lji,...lj->...li", cone_rot, uw)
+    return ul.reshape(u.shape)
+
+
+def effective_backend(cfg: EngineConfig) -> str:
+    """The backend plan() will actually use (trace-time resolution)."""
+    if cfg.mpc.base_box:
+        return "condensed"
+    if cfg.mpc.backend == "auto":
+        if jax.default_backend() != "tpu":
+            import warnings
+            warnings.warn(
+                "MpcConfig.backend='auto' resolves to the lax.scan Riccati "
+                "IPM off-TPU (~50x slower than the TPU Pallas backends) — "
+                "fine for tests/debugging, do not benchmark this path.",
+                stacklevel=2)
+            return "riccati"
+        return "riccati_resident"
+    return cfg.mpc.backend
+
+
 def _pyramid_constants(cfg: EngineConfig):
     """STATIC friction-pyramid data: the pyramid coefficients are identical
     at every knot (towr force_constraint.cc:84-109 with mu from MpcConfig;
@@ -190,8 +214,13 @@ def _pyramid_constants(cfg: EngineConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
+def plan(cfg: EngineConfig, state0, refs: MpcRefs, warm=None) -> MpcPlan:
     """One batched MPC solve.
+
+    warm: optional ops.riccati.WarmStart from the previous replan cycle
+    (world-frame forces; leg-permuted by the caller for phase-mirrored
+    gait cycles).  Used by the riccati-family backends; ignored by the
+    condensed cross-validation backend.
 
     state0: (.., NX) packed SRB state (srb.pack_state).
     refs: contact schedule, foothold schedule, state references.
@@ -218,21 +247,14 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
     # the SQP defect algebra otherwise run at the TPU's default bf16
     # mantissa and hand the solver a corrupted problem (see wbc.solve).
     with jax.default_matmul_precision("highest"):
-        return _plan_impl(cfg, state0, refs)
+        return _plan_impl(cfg, state0, refs, warm)
 
 
-def _plan_impl(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
-    backend = cfg.mpc.backend
-    if cfg.mpc.base_box:
-        # the opt-in BaseRom box (towr base_motion_constraint.cc:46-55) is
-        # exact only as rows on the condensed prediction matrix; the
-        # Riccati stage structure has no state-inequality support
-        backend = "condensed"
-    elif backend == "auto":
-        backend = ("riccati_resident" if jax.default_backend() == "tpu"
-                   else "riccati")
+def _plan_impl(cfg: EngineConfig, state0, refs: MpcRefs,
+               warm=None) -> MpcPlan:
+    backend = effective_backend(cfg)
     if backend in ("riccati", "riccati_fused", "riccati_resident"):
-        return _plan_riccati(cfg, state0, refs, backend)
+        return _plan_riccati(cfg, state0, refs, backend, warm)
     return _plan_condensed(cfg, state0, refs)
 
 
@@ -290,7 +312,7 @@ def _sqp_relinearize(cfg: EngineConfig, state0, refs: MpcRefs, sol):
 
 
 def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
-                  backend: str = "riccati") -> MpcPlan:
+                  backend: str = "riccati", warm=None) -> MpcPlan:
     from .ops.riccati import StageQP, solve_stage_qp
     import numpy as np
 
@@ -304,28 +326,35 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
     blk, rhs_blk = _pyramid_constants(cfg)
     mask = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
 
-    def solve(A, B):
+    def solve(A, B, warm):
         if refs.cone_rot is not None:
             B = _rotate_B(B, refs.cone_rot)      # solve in the cone basis
+            if warm is not None:                 # warm forces arrive world
+                warm = warm._replace(
+                    u=_forces_to_local(warm.u, refs.cone_rot))
         qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
                      G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
                      mask=mask, x0=state0)
         if backend == "riccati_fused":
             from .ops.pallas_riccati import solve_stage_qp_fused
-            sol = solve_stage_qp_fused(qp, cfg.solver)
+            sol = solve_stage_qp_fused(qp, cfg.solver, warm=warm)
         elif backend == "riccati_resident":
             from .ops.pallas_riccati import solve_stage_qp_resident
-            sol = solve_stage_qp_resident(qp, cfg.solver)
+            sol = solve_stage_qp_resident(qp, cfg.solver, warm=warm)
         else:
-            sol = solve_stage_qp(qp, cfg.solver)
+            sol = solve_stage_qp(qp, cfg.solver, warm=warm)
         if refs.cone_rot is not None:
             sol = sol._replace(u=_forces_to_world(sol.u, refs.cone_rot))
         return sol
 
-    sol = solve(A, B)
+    sol = solve(A, B, warm)
+    if max(1, mpc.sqp_iters) > 1:
+        from .ops.riccati import WarmStart
+        ones = jnp.ones(state0.shape[:-1], bool)
     for _ in range(max(1, mpc.sqp_iters) - 1):       # SQP outer loop
         A, B = _sqp_relinearize(cfg, state0, refs, sol)
-        sol = solve(A, B)
+        # each SQP re-solve warm-starts from the previous inner solution
+        sol = solve(A, B, WarmStart(u=sol.u, z=sol.z, s=sol.s, valid=ones))
     from .ops.qpsolve import QPSolution
     diag = QPSolution(x=sol.u.reshape(sol.u.shape[:-2] + (-1,)),
                       y=jnp.zeros_like(state0[..., 0:1]),
