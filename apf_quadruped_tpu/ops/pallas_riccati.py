@@ -351,6 +351,9 @@ def solve_stage_qp_fused(qp: StageQP, cfg: SolverConfig = SolverConfig(),
 
 def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
                       warm: WarmStart | None = None) -> StageSolution:
+    assert qp.Cx is None, (
+        "the 3-kernel fused cross-check has no state-row support; "
+        "use solve_stage_qp_resident (planner.effective_backend reroutes)")
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -521,29 +524,62 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
 # (~10 MB VMEM per block at H=20, well under the 96 MiB limit).
 # ---------------------------------------------------------------------------
 
-def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
+def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 w_clip, min_slack, warm_floor):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
     sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
 
-    Two additions over the 3-kernel pipeline (PERF.md levers 1 and 3):
-      * WARM START: per-lane valid flag selects a previous solve's
-        (u, z, s) — floored to warm_floor — over the cold init;
-      * EARLY EXIT: once EVERY lane of the 128-lane block has converged,
-        the remaining iterations' factor + two vector passes are skipped
-        via pl.when (the all-done check is one scalar reduction/iter).
+    Additions over the 3-kernel pipeline:
+      * WARM START (PERF.md lever 1): per-lane valid flag selects a
+        previous solve's (u, z, s) — floored to warm_floor — over the
+        cold init;
+      * EARLY EXIT (lever 3): once EVERY lane of the 128-lane block has
+        converged, the remaining iterations' factor + two vector passes
+        are skipped via pl.when (one scalar reduction per iteration);
+      * optional STATE rows Cx x_{k+1} <= cx (mc > 0; towr
+        BaseMotionConstraint on the production path): per-knot barrier
+        Cx' diag(Wx) Cx folds into the Riccati cost-to-go via the same
+        MXU Gram trick as the input rows (CC @ Wx), the costates get
+        Cx' zx, and the vector passes get the state rows' rhs at the
+        value gradient.  mc = 0 generates byte-identical code to the
+        row-free kernel (every state block is under `if mc:`).
     """
 
-    def kernel(g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref,
-               a_ref, b_ref, qlin_ref, mask_ref, h_ref, x0_ref,
-               wu_ref, wz_ref, ws_ref, wv_ref,
-               u_ref, x_ref, z_ref, s_ref, stat_ref,
-               l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref,
-               kff_ref, gdu_ref, dua_ref, dza_ref, dsa_ref, mures_ref):
+    def kernel(*refs):
+        (g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref, a_ref, b_ref,
+         qlin_ref, mask_ref, h_ref, x0_ref, wu_ref, wz_ref, ws_ref,
+         wv_ref) = refs[:15]
+        i = 15
+        if mc:
+            cmat_ref, ccg_ref, cx_ref, maskx_ref = refs[i:i + 4]
+            i += 4
+        u_ref, x_ref, z_ref, s_ref, stat_ref = refs[i:i + 5]
+        i += 5
+        if mc:
+            zx_ref, sx_ref = refs[i:i + 2]
+            i += 2
+        (l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref, kff_ref,
+         gdu_ref, dua_ref, dza_ref, dsa_ref, mures_ref) = refs[i:i + 13]
+        i += 13
+        if mc:
+            wx_ref, rzx_ref, dzxa_ref, dsxa_ref = refs[i:i + 4]
+
         dt = x0_ref.dtype
         fone = jnp.ones((LANES,), dt)
         valid = wv_ref[0] > 0.5                   # (LANES,) warm lanes
+
+        def cmat_vec(v):
+            """C @ v: (mc, nx) x (nx, L) -> (mc, L) on the MXU."""
+            return jax.lax.dot_general(
+                cmat_ref[:], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+
+        def cmat_t_vec(v):
+            """C' @ v: contract row dim -> (nx, L)."""
+            return jax.lax.dot_general(
+                cmat_ref[:], v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
 
         # ---- init: u = 0 | warm u; s/z from the (pre-masked) h | warm --
         def init_k(k, mx):
@@ -554,6 +590,21 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                                                          dt))
         shift = jnp.maximum(0.0, r0max) + 1.0
 
+        if mc:
+            # state-row init needs the ZERO-control rollout (scan parity:
+            # r0x is evaluated at u = 0 even for warm lanes)
+            def fwd0(k, carry):
+                x, mx = carry
+                xn = jnp.sum(a_ref[k].astype(dt) * x[None, :, :], axis=1)
+                r0xk = maskx_ref[k] * cmat_vec(xn) - cx_ref[k]
+                rzx_ref[k] = r0xk
+                return xn, jnp.maximum(mx, jnp.max(r0xk, axis=0))
+            _, r0xmax = jax.lax.fori_loop(
+                0, H, fwd0,
+                (x0_ref[:], jnp.full((LANES,), -jnp.inf, dt)),
+                unroll=False)
+            shiftx = jnp.maximum(0.0, r0xmax) + 1.0
+
         def init_sz(k, acc):
             s_ref[k] = jnp.where(valid[None, :],
                                  jnp.maximum(ws_ref[k], warm_floor),
@@ -562,6 +613,11 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                                  jnp.maximum(wz_ref[k], warm_floor),
                                  jnp.maximum(-h_ref[k], 0.0) + 1.0)
             qn, hn, me = acc
+            if mc:
+                sx_ref[k] = -rzx_ref[k] + shiftx[None, :]
+                zx_ref[k] = jnp.maximum(rzx_ref[k], 0.0) + 1.0
+                hn = hn + jnp.sum(cx_ref[k] * cx_ref[k], axis=0)
+                me = me + jnp.sum(maskx_ref[k], axis=0)
             qn = qn + jnp.sum(qlin_ref[k] * qlin_ref[k], axis=0)
             hn = hn + jnp.sum(h_ref[k] * h_ref[k], axis=0)
             me = me + jnp.sum(mask_ref[k], axis=0)
@@ -575,7 +631,7 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
         # ---- shared passes --------------------------------------------
         def rollout_residuals():
             """fwd rollout -> x_ref; bwd costates -> rx_ref, gu_ref,
-            rz_ref, w_ref; returns (mu, res) per lane."""
+            rz_ref, w_ref (+ rzx_ref, wx_ref); returns (mu, res)."""
             def fwd(k, x):
                 Ak = a_ref[k].astype(dt)
                 Bk = b_ref[k].astype(dt)
@@ -596,6 +652,18 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                 qx = jnp.sum(qmat_ref[:][:, :, None] * x_ref[k][None, :, :],
                              axis=1)
                 lam_k = qx + qlin_ref[k] + lam
+                if mc:
+                    mxk = maskx_ref[k]
+                    zxk = zx_ref[k]
+                    sxk = sx_ref[k]
+                    lam_k = lam_k + cmat_t_vec(mxk * zxk)
+                    rzxk = mxk * cmat_vec(x_ref[k]) + sxk - cx_ref[k]
+                    rzx_ref[k] = rzxk
+                    wx_ref[k] = mxk * jnp.clip(
+                        jnp.maximum(zxk, min_slack)
+                        / jnp.maximum(sxk, min_slack), 0.0, w_clip)
+                    rz2 = rz2 + jnp.sum((rzxk * mxk) ** 2, axis=0)
+                    sz = sz + jnp.sum(sxk * zxk * mxk, axis=0)
                 bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
                 gt_zm = jax.lax.dot_general(
                     g_ref[:], mk * zk, (((0,), (0,)), ((), ())),
@@ -632,6 +700,12 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                 k = H - 1 - kk
                 Ak = a_ref[k].astype(dt)
                 Bk = b_ref[k].astype(dt)
+                if mc:
+                    # state-row barrier: Pb += C' diag(wx) C = CC @ wx
+                    px_flat = jax.lax.dot_general(
+                        ccg_ref[:], wx_ref[k], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(dt)
+                    Pb = Pb + px_flat.reshape(nx, nx, LANES)
                 rk_flat = jax.lax.dot_general(
                     gg_ref[:], w_ref[k], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dt)
@@ -661,13 +735,21 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
             P0 = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES), dt)
             jax.lax.fori_loop(0, H, bwd, P0, unroll=False)
 
-        def vector_pass(rc_of_k, du_out, dz_out, ds_out):
-            """Affine-LQR solve for rhs built from rc_of_k(k) (a function
-            returning the (m, LANES) complementarity rhs at knot k);
-            writes du/dz/ds and returns the per-lane steplen ratio mins
-            (ratio_s, ratio_z)."""
+        def vector_pass(rc_of_k, rcx_of_k, du_out, dz_out, ds_out,
+                        dzx_out, dsx_out):
+            """Affine-LQR solve for rhs built from rc_of_k(k) (the
+            (m, LANES) complementarity rhs at knot k) and, when state
+            rows exist, rcx_of_k(k) ((mc, LANES)); writes du/dz/ds
+            (+ dzx/dsx) and returns the per-lane steplen ratio mins
+            (ratio_s, ratio_z) over ALL row sets."""
             def bwd(kk, sv):
                 k = H - 1 - kk
+                if mc:
+                    rcxk = rcx_of_k(k)
+                    sx_safe = jnp.maximum(sx_ref[k], min_slack)
+                    vmxk = maskx_ref[k] * (wx_ref[k] * rzx_ref[k]
+                                           + rcxk / sx_safe)
+                    sv = sv + cmat_t_vec(vmxk)
                 rck = rc_of_k(k)
                 s_safe = jnp.maximum(s_ref[k], min_slack)
                 vmk = mask_ref[k] * (w_ref[k] * rz_ref[k] + rck / s_safe)
@@ -685,6 +767,13 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
             jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx, LANES), dt),
                               unroll=False)
 
+            def ratio(v, dv, cur, mk):
+                neg = (dv < 0) & (mk > 0)
+                r = jnp.where(neg,
+                              -v / jnp.where(neg, dv, -jnp.ones_like(dv)),
+                              jnp.inf)
+                return jnp.minimum(cur, jnp.min(r, axis=0))
+
             def fwd(k, carry):
                 dx, rs, rz_ = carry
                 du = (-jnp.sum(k_ref[k] * dx[None, :, :], axis=1)
@@ -699,21 +788,21 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                 dzk = (rck - z_ref[k] * dsk) / s_safe
                 ds_out[k] = dsk
                 dz_out[k] = dzk
-                mk = mask_ref[k]
-
-                def ratio(v, dv, cur):
-                    neg = (dv < 0) & (mk > 0)
-                    r = jnp.where(neg,
-                                  -v / jnp.where(neg, dv,
-                                                 -jnp.ones_like(dv)),
-                                  jnp.inf)
-                    return jnp.minimum(cur, jnp.min(r, axis=0))
-                rs = ratio(s_ref[k], dsk, rs)
-                rz_ = ratio(z_ref[k], dzk, rz_)
-                return (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :],
-                                axis=1)
-                        + jnp.sum(b_ref[k].astype(dt) * du[None, :, :],
-                                  axis=1), rs, rz_)
+                rs = ratio(s_ref[k], dsk, rs, mask_ref[k])
+                rz_ = ratio(z_ref[k], dzk, rz_, mask_ref[k])
+                dxn = (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :], axis=1)
+                       + jnp.sum(b_ref[k].astype(dt) * du[None, :, :],
+                                 axis=1))
+                if mc:
+                    rcxk = rcx_of_k(k)
+                    sx_safe = jnp.maximum(sx_ref[k], min_slack)
+                    dsxk = -rzx_ref[k] - maskx_ref[k] * cmat_vec(dxn)
+                    dzxk = (rcxk - zx_ref[k] * dsxk) / sx_safe
+                    dsx_out[k] = dsxk
+                    dzx_out[k] = dzxk
+                    rs = ratio(sx_ref[k], dsxk, rs, maskx_ref[k])
+                    rz_ = ratio(zx_ref[k], dzxk, rz_, maskx_ref[k])
+                return (dxn, rs, rz_)
             dx0 = jnp.zeros((nx, LANES), dt)
             inf0 = jnp.full((LANES,), jnp.inf, dt)
             _, rs, rz_ = jax.lax.fori_loop(0, H, fwd, (dx0, inf0, inf0),
@@ -745,15 +834,24 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                 factor()
 
                 # predictor: rc = -s z  =>  rc/s_safe = -z (s>=min_slack)
-                rs, rzr = vector_pass(lambda k: -s_ref[k] * z_ref[k],
-                                      dua_ref, dza_ref, dsa_ref)
+                rs, rzr = vector_pass(
+                    lambda k: -s_ref[k] * z_ref[k],
+                    (lambda k: -sx_ref[k] * zx_ref[k]) if mc else None,
+                    dua_ref, dza_ref, dsa_ref,
+                    dzxa_ref if mc else None, dsxa_ref if mc else None)
                 a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
 
                 def acc_mu(k, acc):
-                    return acc + jnp.sum(
+                    acc = acc + jnp.sum(
                         (s_ref[k] + a_a[None, :] * dsa_ref[k])
                         * (z_ref[k] + a_a[None, :] * dza_ref[k])
                         * mask_ref[k], axis=0)
+                    if mc:
+                        acc = acc + jnp.sum(
+                            (sx_ref[k] + a_a[None, :] * dsxa_ref[k])
+                            * (zx_ref[k] + a_a[None, :] * dzxa_ref[k])
+                            * maskx_ref[k], axis=0)
+                    return acc
                 mu_aff = jax.lax.fori_loop(0, H, acc_mu, 0.0 * fone) / m_eff
                 sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
                                  0.0, 1.0) ** sigma_pow
@@ -762,8 +860,15 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                 def rc_corr(k):
                     return -(s_ref[k] * z_ref[k] + dsa_ref[k] * dza_ref[k]
                              - sig_mu[None, :])
+
+                def rcx_corr(k):
+                    return -(sx_ref[k] * zx_ref[k]
+                             + dsxa_ref[k] * dzxa_ref[k] - sig_mu[None, :])
                 # corrector overwrites the predictor direction scratch
-                rs, rzr = vector_pass(rc_corr, dua_ref, dza_ref, dsa_ref)
+                rs, rzr = vector_pass(rc_corr, rcx_corr if mc else None,
+                                      dua_ref, dza_ref, dsa_ref,
+                                      dzxa_ref if mc else None,
+                                      dsxa_ref if mc else None)
                 a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
                 a = jnp.where(frozen, 0.0, a)
 
@@ -773,6 +878,11 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
                         z_ref[k] + a[None, :] * dza_ref[k], min_slack)
                     s_ref[k] = jnp.maximum(
                         s_ref[k] + a[None, :] * dsa_ref[k], min_slack)
+                    if mc:
+                        zx_ref[k] = jnp.maximum(
+                            zx_ref[k] + a[None, :] * dzxa_ref[k], min_slack)
+                        sx_ref[k] = jnp.maximum(
+                            sx_ref[k] + a[None, :] * dsxa_ref[k], min_slack)
                     return 0
                 jax.lax.fori_loop(0, H, upd, 0)
 
@@ -804,16 +914,44 @@ def _ipm_kernel(H, nx, nu, m, iters, reltol, abstol, sigma_pow, frac,
 
 
 def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-              wu, wz, ws, wv, interpret):
+              wu, wz, ws, wv, xrows, interpret):
+    """xrows: None or (cmat (mc, nx), ccg (nx*nx, mc), cx (H, mc, Bp),
+    maskx (H, mc, Bp)) state-row data."""
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
+    mc = 0 if xrows is None else xrows[0].shape[0]
     dt = x0.dtype
     grid = (Bp // LANES,)
-    kern = _ipm_kernel(H, nx, nu, m, int(cfg.iters), float(cfg.reltol),
+    kern = _ipm_kernel(H, nx, nu, m, mc, int(cfg.iters), float(cfg.reltol),
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
                        float(cfg.min_slack), float(cfg.warm_floor))
+    in_specs = [_cspec(G.shape), _cspec(GG.shape), _cspec(rmatf.shape),
+                _cspec(rmatr.shape), _cspec(qmat.shape),
+                _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
+                _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
+                _vspec((H, m, LANES)), _vspec((nx, LANES)),
+                _vspec((H, nu, LANES)), _vspec((H, m, LANES)),
+                _vspec((H, m, LANES)), _vspec((1, LANES))]
+    args = [G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
+            wu, wz, ws, wv]
+    out_specs = [_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
+                 _vspec((H, m, LANES)), _vspec((H, m, LANES)),
+                 _vspec((8, LANES))]
+    out_shape = [jax.ShapeDtypeStruct((H, nu, Bp), dt),
+                 jax.ShapeDtypeStruct((H, nx, Bp), dt),
+                 jax.ShapeDtypeStruct((H, m, Bp), dt),
+                 jax.ShapeDtypeStruct((H, m, Bp), dt),
+                 jax.ShapeDtypeStruct((8, Bp), dt)]
+    if mc:
+        cmat, ccg, cx, maskx = xrows
+        in_specs += [_cspec(cmat.shape), _cspec(ccg.shape),
+                     _vspec((H, mc, LANES)), _vspec((H, mc, LANES))]
+        args += [cmat, ccg, cx, maskx]
+        out_specs += [_vspec((H, mc, LANES)), _vspec((H, mc, LANES))]
+        out_shape += [jax.ShapeDtypeStruct((H, mc, Bp), dt),
+                      jax.ShapeDtypeStruct((H, mc, Bp), dt)]
     scratch = [
         pltpu.VMEM((H, nu, nu, LANES), dt),   # l
         pltpu.VMEM((H, nu, LANES), dt),       # d
@@ -829,28 +967,21 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         pltpu.VMEM((H, m, LANES), dt),        # dsa
         pltpu.VMEM((2, LANES), dt),           # mures (early-exit carry)
     ]
+    if mc:
+        scratch += [pltpu.VMEM((H, mc, LANES), dt),   # wx
+                    pltpu.VMEM((H, mc, LANES), dt),   # rzx
+                    pltpu.VMEM((H, mc, LANES), dt),   # dzxa
+                    pltpu.VMEM((H, mc, LANES), dt)]   # dsxa
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[_cspec(G.shape), _cspec(GG.shape), _cspec(rmatf.shape),
-                  _cspec(rmatr.shape), _cspec(qmat.shape),
-                  _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
-                  _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
-                  _vspec((H, m, LANES)), _vspec((nx, LANES)),
-                  _vspec((H, nu, LANES)), _vspec((H, m, LANES)),
-                  _vspec((H, m, LANES)), _vspec((1, LANES))],
-        out_specs=[_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
-                   _vspec((H, m, LANES)), _vspec((H, m, LANES)),
-                   _vspec((8, LANES))],
-        out_shape=[jax.ShapeDtypeStruct((H, nu, Bp), dt),
-                   jax.ShapeDtypeStruct((H, nx, Bp), dt),
-                   jax.ShapeDtypeStruct((H, m, Bp), dt),
-                   jax.ShapeDtypeStruct((H, m, Bp), dt),
-                   jax.ShapeDtypeStruct((8, Bp), dt)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0, wu, wz, ws, wv)
+    )(*args)
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -862,8 +993,9 @@ def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
     problem data is read from HBM once per 128-lane block and no
     per-iteration array ever leaves VMEM.  Same algorithm, same outputs
     (validated against the scan and 3-kernel paths in
-    tests/test_pallas_riccati.py).  Supports per-lane warm starting and
-    all-lanes-converged early exit (see _ipm_kernel)."""
+    tests/test_pallas_riccati.py).  Supports per-lane warm starting,
+    all-lanes-converged early exit, and optional state rows (StageQP.Cx,
+    the towr BaseMotionConstraint on the production path)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.default_matmul_precision("highest"):
@@ -907,6 +1039,19 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
     rmatr = qp.R.astype(dt)
     qmat = qp.Q.astype(dt)
 
+    has_x = qp.Cx is not None
+    if has_x:
+        mc = qp.Cx.shape[0]
+        cmat = qp.Cx.astype(dt)
+        ccg = jnp.einsum("mi,mj->ijm", cmat, cmat).reshape(nx * nx, mc)
+        maskx = to_bl(jnp.broadcast_to(qp.mask_x, batch + (Hh, mc))
+                      .astype(dt))
+        cx_l = to_bl(jnp.broadcast_to(qp.cx, batch + (Hh, mc)).astype(dt))
+        cx_l = jnp.where(maskx > 0, cx_l, jnp.ones_like(cx_l))
+        xrows = (cmat, ccg, cx_l, maskx)
+    else:
+        xrows = None
+
     if warm is not None:
         wu = to_bl(warm.u)
         wz = to_bl(warm.z)
@@ -918,9 +1063,13 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
         ws = jnp.zeros((Hh, m, Bp), dt)
         wv = jnp.zeros((1, Bp), dt)
 
-    u, x, z, s, stat = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat,
-                                 A_l, B_l, q_l, mask, h_l, x0_l,
-                                 wu, wz, ws, wv, interpret)
+    outs = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A_l, B_l, q_l, mask,
+                     h_l, x0_l, wu, wz, ws, wv, xrows, interpret)
+    if has_x:
+        u, x, z, s, stat, zx_o, sx_o = outs
+    else:
+        u, x, z, s, stat = outs
+        zx_o = sx_o = None
 
     def to_bf(v):
         v = jnp.moveaxis(v[..., :B], -1, 0)
@@ -943,4 +1092,6 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
         converged=conv & lane_ok,
         iters=scal(stat[1]).astype(jnp.int32),
         gap=jnp.nan_to_num(scal(stat[2]), nan=jnp.inf),
-        res_norm=jnp.nan_to_num(scal(stat[3]), nan=jnp.inf))
+        res_norm=jnp.nan_to_num(scal(stat[3]), nan=jnp.inf),
+        zx=fix(to_bf(zx_o)) if has_x else None,
+        sx=fix(to_bf(sx_o)) if has_x else None)

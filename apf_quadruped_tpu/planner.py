@@ -166,9 +166,15 @@ def _forces_to_local(u, cone_rot):
 
 
 def effective_backend(cfg: EngineConfig) -> str:
-    """The backend plan() will actually use (trace-time resolution)."""
-    if cfg.mpc.base_box:
-        return "condensed"
+    """The backend plan() will actually use (trace-time resolution).
+
+    base_box (towr BaseMotionConstraint) runs on the PRODUCTION Riccati
+    paths via StageQP's state rows (scan + resident kernels); only the
+    3-kernel fused cross-check lacks state-row support and falls through
+    to the resident kernel.
+    """
+    if cfg.mpc.base_box and cfg.mpc.backend == "riccati_fused":
+        return "riccati_resident"
     if cfg.mpc.backend == "auto":
         if jax.default_backend() != "tpu":
             import warnings
@@ -326,6 +332,31 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
     blk, rhs_blk = _pyramid_constants(cfg)
     mask = jnp.repeat(refs.contacts, ROWS_PER_FOOT, axis=-1)
 
+    # opt-in BaseRom box (towr base_motion_constraint.cc:46-55: roll and
+    # pitch in +-dev_rad, base z in [z0 - below, z0 + above]) as STATE
+    # rows Cx x_{k+1} <= cx on the banded Riccati structure — exactly the
+    # rows the condensed backend builds on its prediction matrix
+    # (cross-validated in tests/test_planner.py)
+    Cxd = cxd = mask_xd = None
+    if mpc.base_box:
+        import numpy as _np
+        dims = (0, 1, 5)                               # roll, pitch, z
+        Cx_np = _np.zeros((6, srb.NX))
+        for i, d in enumerate(dims):
+            Cx_np[i, d] = 1.0
+            Cx_np[3 + i, d] = -1.0
+        Cxd = jnp.asarray(Cx_np, dtype)
+        z0 = state0[..., 5]
+        dev = jnp.asarray(mpc.base_dev_rad, dtype)
+        his = jnp.stack([dev + 0.0 * z0, dev + 0.0 * z0,
+                         z0 + mpc.base_z_above], axis=-1)
+        los = jnp.stack([-dev + 0.0 * z0, -dev + 0.0 * z0,
+                         z0 - mpc.base_z_below], axis=-1)
+        cx1 = jnp.concatenate([his, -los], axis=-1)    # (.., 6)
+        cxd = jnp.broadcast_to(cx1[..., None, :],
+                               state0.shape[:-1] + (mpc.horizon, 6))
+        mask_xd = jnp.ones_like(cxd)
+
     def solve(A, B, warm):
         if refs.cone_rot is not None:
             B = _rotate_B(B, refs.cone_rot)      # solve in the cone basis
@@ -334,7 +365,7 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
                     u=_forces_to_local(warm.u, refs.cone_rot))
         qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
                      G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
-                     mask=mask, x0=state0)
+                     mask=mask, x0=state0, Cx=Cxd, cx=cxd, mask_x=mask_xd)
         if backend == "riccati_fused":
             from .ops.pallas_riccati import solve_stage_qp_fused
             sol = solve_stage_qp_fused(qp, cfg.solver, warm=warm)

@@ -241,3 +241,51 @@ def test_sqp_improves_dynamic_consistency():
     assert defects[4] < 0.01 * defects[1], (
         f"SQP must cut the nonlinear defect: {defects}")
     assert defects[4] < 0.02, f"absolute consistency too loose: {defects}"
+
+
+def test_base_box_riccati_matches_condensed():
+    """base_box on the PRODUCTION Riccati path (StageQP state rows) must
+    agree with the condensed backend's exact prediction-matrix rows —
+    same clipped trajectory, same forces (the VERDICT r3 gap: base_box
+    used to force the O((12H)^3) condensed backend)."""
+    mk = dict(horizon=10, dt=0.05, base_box=True)
+    # active box rows carry O(m)-scale slacks, so the ABSOLUTE gap floors
+    # near 1e-3 (same effect as in test_base_motion_box above); 1e-3
+    # abstol + tight reltol converges in ~10 iterations on both backends
+    sol_cfg = SolverConfig(iters=60, reltol=1e-4, abstol=1e-3)
+    cfg_r = EngineConfig(mpc=MpcConfig(**mk, backend="riccati"),
+                         solver=sol_cfg)
+    cfg_c = EngineConfig(mpc=MpcConfig(**mk, backend="condensed"),
+                         solver=sol_cfg)
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.0, 0.65])
+    feet0 = jnp.asarray(nominal_stance(cfg_r.robot)) + com0
+    feet0 = feet0.at[:, 2].set(0.0)
+    H = cfg_r.mpc.horizon
+    contacts = jnp.ones((H, 4))
+    refs = planner.MpcRefs(
+        contacts=contacts,
+        feet_w=planner.foothold_schedule(feet0, feet0, contacts),
+        x_ref=planner.reference_trajectory(
+            cfg_r, jnp.zeros(3), com0, com_des, jnp.asarray(0.0),
+            jnp.asarray(H * cfg_r.mpc.dt)),
+        yaw_ref=jnp.asarray(0.0))
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+
+    out_r = planner.plan(cfg_r, x0, refs)
+    out_c = planner.plan(cfg_c, x0, refs)
+    assert bool(out_r.sol.converged) and bool(out_c.sol.converged)
+    # trajectories agree everywhere; forces agree elementwise off the
+    # boundary (at box-riding knots the force SPLIT is degenerate — many
+    # distributions give the same clipped trajectory under the 1e-5
+    # regularizer — so compare the per-knot net there instead)
+    xr, xc = np.asarray(out_r.states), np.asarray(out_c.states)
+    np.testing.assert_allclose(xr[:, 0:6], xc[:, 0:6], atol=1e-3)
+    np.testing.assert_allclose(xr[:, 6:12], xc[:, 6:12], atol=0.02)
+    fr, fc = np.asarray(out_r.forces), np.asarray(out_c.forces)
+    np.testing.assert_allclose(fr[:6], fc[:6], atol=0.35)
+    np.testing.assert_allclose(fr.sum(1), fc.sum(1), atol=5.0)
+    # and the box binds identically on the riccati path
+    z = np.asarray(out_r.states)[:, 5]
+    assert z.max() <= 0.4 + 0.1 + 2e-3
+    assert z.max() >= 0.4 + 0.1 - 2e-3      # it actually rides the box
