@@ -171,6 +171,18 @@ def _link_velocities(cfg: RobotConfig, p_base, R_wb, q, u):
     return v, w
 
 
+def _jacfwd_seeded(f, x, seed):
+    """jax.jacfwd(f)(x) as vmapped JVPs whose basis tangents carry a
+    device-varying zero (`seed`): jacfwd's own identity tangents are
+    "unvarying" constants under shard_map(check_vma=True) and trip the
+    varying-axes checker the moment they multiply sharded data; seeding
+    the basis from the data fixes the type without changing values."""
+    n = x.shape[-1]
+    x = x + seed                             # primal varying too
+    basis = jnp.eye(n, dtype=x.dtype) + seed
+    out = jax.vmap(lambda e: jax.jvp(f, (x,), (e,))[1])(basis)
+    return jnp.moveaxis(out, 0, -1)
+
 def mass_matrix(cfg: RobotConfig, R_wb, q):
     """(.., NV, NV) free-floating mass matrix in mixed coordinates.
 
@@ -184,9 +196,11 @@ def mass_matrix(cfg: RobotConfig, R_wb, q):
                                 R_wb, q, u)
         return jnp.concatenate([v, w], axis=-1)                # (..,NB,6)
 
-    J = jax.jacfwd(vel_flat)(jnp.zeros(batch + (NV,), dtype))
-    # J: (.., NB, 6, .., NV) — for batched input jacfwd produces cross
-    # terms; avoid by requiring unbatched here and vmapping at call sites.
+    J = _jacfwd_seeded(vel_flat, jnp.zeros(batch + (NV,), dtype),
+                       0.0 * jnp.sum(q))
+    # J: (.., NB, 6, .., NV) — for batched input the jacobian would
+    # produce cross terms; avoid by requiring unbatched here and
+    # vmapping at call sites.
     Jv = J[..., 0:3, :]
     Jw = J[..., 3:6, :]
     R_links_b, _ = link_kinematics(cfg, q)
@@ -230,7 +244,8 @@ def bias_forces(cfg: RobotConfig, p_base, R_wb, q, u):
         vv, ww = _link_velocities(cfg, p_base, R_wb, q, uu)
         return jnp.concatenate([vv, ww], axis=-1)
 
-    J = jax.jacfwd(vel_flat)(jnp.zeros(batch + (NV,), dtype))
+    J = _jacfwd_seeded(vel_flat, jnp.zeros(batch + (NV,), dtype),
+                       0.0 * jnp.sum(q))
     Jv = J[..., 0:3, :]
     Jw = J[..., 3:6, :]
     return (jnp.einsum("...bin,...bi->...n", Jv, f_lin)
@@ -326,4 +341,5 @@ def com_jacobian(cfg: RobotConfig, R_wb, q):
                                 R_wb, q, u)
         return jnp.einsum("b,...bi->...i", masses, v) / total_mass(cfg)
 
-    return jax.jacfwd(com_vel)(jnp.zeros(batch + (NV,), dtype))
+    return _jacfwd_seeded(com_vel, jnp.zeros(batch + (NV,), dtype),
+                          0.0 * jnp.sum(q))

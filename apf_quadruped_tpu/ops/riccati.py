@@ -243,7 +243,9 @@ def _solve_impl(qp: StageQP, cfg: SolverConfig,
             lam_k = (_bmv(qp.Q, xk) + qk + lam
                      + jnp.einsum("...mi,...m->...i", Cmk, zxk))
             return _bmv(jnp.swapaxes(Ak, -1, -2), lam_k), lam_k
-        lam0 = jnp.zeros(batch + (NX,), dt)
+        # derive the zero carry from x0 so its device-varying axes match
+        # the scan outputs under shard_map(check_vma=True)
+        lam0 = jnp.zeros(batch + (NX,), dt) + 0.0 * qp.x0
         _, lam_t = jax.lax.scan(bwd, lam0, (A_t, x_t, q_t, C_t, zx_t),
                                 reverse=True)
         # lam_t[k] = Q x_k + q_k + Cm' zx_k + A_{k+1}' lam_{k+1}

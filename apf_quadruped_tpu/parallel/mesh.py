@@ -55,14 +55,15 @@ def sharded_map(mesh: Mesh, fn: Callable, reduce_stats: bool = True):
                 lambda s: jax.lax.pmean(s, SCENARIO_AXIS), stats)
         return out, stats
 
-    # check_vma=False: the workload is embarrassingly data-parallel (the
-    # only cross-shard op is the final pmean); the varying-manual-axes
-    # checker flags mixed constant/sharded scan carries deep inside the
-    # control stack that are value-correct here.
+    # check_vma=True: the varying-manual-axes checker runs on the
+    # production sharding wrapper.  The control stack satisfies it by
+    # seeding fresh-constant scan carries / jacfwd basis tangents with
+    # varying zeros derived from the sharded data (loop._run_cycle_impl
+    # `vfalse`, riccati lam0, rbd._jacfwd_seeded) — see seed_varying.
     return shard_map(wrapped, mesh=mesh,
                      in_specs=(P(SCENARIO_AXIS),),
                      out_specs=(P(SCENARIO_AXIS), P()),
-                     check_vma=False)
+                     check_vma=True)
 
 
 def seed_varying(tree, seed):

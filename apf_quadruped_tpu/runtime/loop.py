@@ -113,6 +113,10 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
                     ) -> tuple[LoopState, CycleMetrics]:
     dtype = st.sim.q.dtype
     robot = cfg.robot
+    # a device-varying False: fresh constants entering scan carries /
+    # LoopState outputs inherit varying axes from the sim state, keeping
+    # shard_map(check_vma=True) satisfied on sharded sweeps
+    vfalse = (0.0 * st.sim.q[0]) > 0.0
 
     # ---- 1. navigation -------------------------------------------------
     ast = apf.update_robustness(cfg.apf, st.apf)
@@ -127,7 +131,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         # walk1_4 (reference combo C9, gait_type 4): all four legs swing
         # once per cycle, one at a time
         gait_flag = jnp.asarray(4, jnp.int32)
-        crawling = jnp.asarray(True)
+        crawling = ~vfalse
     elif cfg.gait.mode == "adaptive":
         # data-driven switch with hysteresis: enter the crawl combo when
         # the robustness EWMA drops below crawl_enter_threshold, return
@@ -144,7 +148,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     else:
         cycle_s = cfg.gait.trot_cycle
         gait_flag = _phase_gait_flag(st.cycle_idx)
-        crawling = jnp.asarray(False)
+        crawling = vfalse
     cycle = jnp.asarray(cycle_s, dtype)
     n_ticks = int(round(cycle_s / cfg.sim.dt))
 
@@ -208,7 +212,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         u_next = plan.forces[:, perm, :].reshape(Hh, 12)
         z_next = plan.sol.z.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
         s_next = plan.sol.s.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
-        warm_next = (u_next, z_next, s_next, jnp.asarray(True))
+        warm_next = (u_next, z_next, s_next, ~vfalse)
     else:
         warm_next = (st.warm_u, st.warm_z, st.warm_s, st.warm_valid)
 
@@ -299,8 +303,8 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
                  jnp.mean(td_flag.astype(dtype)),
                  jnp.abs(out.udot[6:18]).max()))
 
-    carry0 = (st.sim, ast, jnp.zeros(4, bool), liftoff_feet,
-              jnp.zeros(4, bool))
+    carry0 = (st.sim, ast, jnp.zeros(4, bool) ^ vfalse, liftoff_feet,
+              jnp.zeros(4, bool) ^ vfalse)
     (sim_st, ast, _, _, _), (conv, slip, taumax, terr_track, td_frac,
                              qddmax) = (
         jax.lax.scan(tick, carry0, jnp.arange(n_ticks)))
