@@ -201,6 +201,15 @@ class WbcConfig:
     # Verified: with ref_exact=True our solution matches the reference's
     # QP bit-for-bit at rest states (tests/test_reference_parity_dyn.py).
     ref_exact: bool = False
+    # Sub-flag of ref_exact: apply quirk (b), the trot-swing ZERO known
+    # term.  The quirk's rows are zero-rhs in the reference's CoM
+    # COORDINATES; the equivalent mixed-coordinate rows differ by affine
+    # Tdot-scale terms that grow with speed (measured 1-10 N over a
+    # dynamic gait cycle), so the full-cycle sequence-parity test
+    # disables it and compares the full-bias formulation the reference
+    # itself uses in its stance and crawl QPs; the single-state tests
+    # pin the quirk itself.
+    ref_exact_swing_b0: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -145,31 +145,54 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
         # vector holds CoM-FRAME accelerations [udot_com(6); qdd(12)]
         # (main.cpp:1478-1483), so its identity regularizer tie-breaks in
         # a different direction than ours over mixed-coordinate udot.
-        # udot_com = (T nudot)[0:6] with the centroidal transform
-        # T = [[I, S(x_bc)', Js],[0, I, Js_ang],[0,0,I]] and
-        # Js = X Mb^{-1} Mbj (computeTransformation, main.cpp:643-687);
-        # the velocity-dependent Tdot nu offset is an affine tie-break
-        # term of the unit-weight regularizer, negligible vs the
-        # q1/slack-weighted costs, and exactly zero at rest.
+        # udot_com = d/dt(T nu)[0:6] = Cmap nudot + dCmap nu with the
+        # centroidal transform T = [[I, S(x_bc)', Js],[0, I, 0],[0,0,I]]
+        # and Js = X Mb^{-1} Mbj (computeTransformation,
+        # main.cpp:643-687); dCmap carries the reference's OWN Tdot
+        # construction (main.cpp:690-720: dJs = dX Mb^{-1}Mbj
+        # - X Mb^{-1} dMb Mb^{-1} Mbj with dMb from the CoM-offset
+        # motion).  The affine term dCmap nu enters the unit-weight
+        # regularizer as a LINEAR cost term — zero at rest, but a
+        # measured ~2 N tangential-force tie-break shift at trot-swing
+        # speeds (the full-gait-cycle parity test pins it).
         xbc = com - st.p_base
         X6 = jnp.block([[jnp.eye(3, dtype=dtype), skew(xbc).T],
                         [jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)]])
-        Js6 = X6 @ jnp.linalg.solve(M[0:6, 0:6], M[0:6, 6:18])
+        Mb = M[0:6, 0:6]
+        Mbj = M[0:6, 6:18]
+        MbMj = jnp.linalg.solve(Mb, Mbj)
+        Js6 = X6 @ MbMj
         Cmap = jnp.zeros((6, 18), dtype)
         Cmap = Cmap.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
         Cmap = Cmap.at[0:3, 3:6].set(skew(xbc).T)
         Cmap = Cmap.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype))
         Cmap = Cmap.at[:, 6:18].set(Js6)
+        # dCmap nu: the affine CoM-acceleration offset (Tdot terms)
+        xbc_dot = v_com - st.u[0:3]
+        m_tot_ = rbd.total_mass(cfg.robot)
+        dX6 = jnp.zeros((6, 6), dtype).at[0:3, 3:6].set(skew(xbc_dot).T)
+        mdr_hat = skew(m_tot_ * xbc_dot)
+        dMb = jnp.zeros((6, 6), dtype)
+        dMb = dMb.at[0:3, 3:6].set(mdr_hat.T)
+        dMb = dMb.at[3:6, 0:3].set(mdr_hat)
+        dJs6 = dX6 @ MbMj - X6 @ jnp.linalg.solve(
+            Mb, dMb @ MbMj)                       # main.cpp:702-708
+        dCmap = jnp.zeros((6, 18), dtype)
+        dCmap = dCmap.at[0:3, 3:6].set(skew(xbc_dot).T)
+        dCmap = dCmap.at[:, 6:18].set(dJs6)
+        c6 = dCmap @ st.u                         # (6,)
         reg = jnp.zeros((NX, NX), dtype)
         reg = reg.at[0:18, 0:18].set(
             Cmap.T @ Cmap
             + jnp.diag(jnp.concatenate([jnp.zeros(6, dtype),
                                         jnp.ones(12, dtype)])))
         reg = reg.at[18:30, 18:30].set(jnp.eye(12, dtype=dtype))
+        reg_lin = jnp.concatenate([Cmap.T @ c6, jnp.zeros(12, dtype)])
     else:
         reg = jnp.eye(NX, dtype=dtype)
+        reg_lin = jnp.zeros(NX, dtype)
     P = w.q1 * (Ts.T @ Ts) + reg
-    qv = -w.q1 * (Ts.T @ Wdes)
+    qv = -w.q1 * (Ts.T @ Wdes) + reg_lin
 
     # swing-foot tracking as soft cost (replaces the 1e8 slack variables):
     # rows J_c udot = a_sw_des - jdu  weighted per swing leg
@@ -194,7 +217,7 @@ def _build_qp(cfg: EngineConfig, st: WbcState,
     # 12 stance no-slip rows
     A = A.at[6:18, 0:18].set(Jc)
     b = b.at[6:18].set(-jdu)
-    if w.ref_exact:
+    if w.ref_exact and w.ref_exact_swing_b0:
         # Reference-exact trot-swing quirk: the swing QP's known term is
         # ZERO (eigenb = 0, main.cpp:1849-1853) — gravity/bias and Jdot qd
         # are silently dropped from the equalities whenever legs swing

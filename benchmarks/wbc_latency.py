@@ -56,7 +56,9 @@ def main():
             q=q,
             u=jnp.asarray(rng.normal(size=(B, 18)) * 0.01, dtype),
             contact=jnp.ones((B, 4), dtype),
-            crawl=jnp.zeros(B, bool))
+            crawl=jnp.zeros(B, bool),
+            cone_rot=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                      (B, 4, 3, 3)))
         com = jax.vmap(lambda p, R, qq: rbd.com_position(cfg.robot, p, R, qq)
                        )(sts.p_base, sts.R_wb, sts.q)
         z3 = jnp.zeros((B, 3), dtype)
