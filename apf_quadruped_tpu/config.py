@@ -286,6 +286,11 @@ class MpcConfig:
     # consistency gain that iteration 2 does deliver).  Turn up for
     # faster/more aggressive gaits.
     sqp_iters: int = 1
+    # Thread each replan's solution into the next solve as a warm start
+    # (ops.riccati.WarmStart; 1.6 vs 7.2 mean IPM iterations, PERF.md).
+    # The loop leg-permutes it for the mirrored trot pair; crawl cycles
+    # reuse it unpermuted.
+    warm_start: bool = True
     w_pos: float = 400.0
     w_att: float = 150.0
     w_vel: float = 10.0

@@ -60,6 +60,13 @@ class LoopState(NamedTuple):
     warm_z: jnp.ndarray       # (H, 24) duals
     warm_s: jnp.ndarray       # (H, 24) slacks
     warm_valid: jnp.ndarray   # () bool
+    # () int32 — the gait flag the stored warm solution is valid FOR
+    # (after any leg permutation).  A cycle whose flag differs discards
+    # the warm start: stance-row mask patterns change across gait
+    # switches, and a mismatched (z, s) start WORSE than cold (measured
+    # on the adaptive trot->crawl switch: qp_converged 0 and a fall with
+    # stale warm data vs healthy cold)
+    warm_flag: jnp.ndarray
 
 
 class CycleMetrics(NamedTuple):
@@ -192,12 +199,13 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         com_des3, rpy_now[2], cycle)
     v_com = rbd.com_jacobian(robot, st.sim.R_wb, st.sim.q) @ st.sim.u
     x0 = srb.pack_state(rpy_now, com_w, st.sim.u[3:6], v_com)
-    riccati_backend = planner.effective_backend(cfg).startswith("riccati")
+    riccati_backend = (planner.effective_backend(cfg).startswith("riccati")
+                       and cfg.mpc.warm_start)
     warm = None
     if riccati_backend:
         from ..ops.riccati import WarmStart
         warm = WarmStart(u=st.warm_u, z=st.warm_z, s=st.warm_s,
-                         valid=st.warm_valid)
+                         valid=st.warm_valid & (st.warm_flag == gait_flag))
     plan = planner.plan(cfg, x0, planner.MpcRefs(
         contacts=contacts_h, feet_w=feet_sched, x_ref=x_ref,
         yaw_ref=rpy_now[2], cone_rot=cone_rot), warm=warm)
@@ -207,14 +215,20 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     # the stored solution is leg-permuted BR<->BL, FL<->FR; crawl and
     # adaptive cycles share one schedule (identity).
     if riccati_backend:
-        perm = (1, 0, 3, 2) if cfg.gait.mode == "trot" else (0, 1, 2, 3)
+        if cfg.gait.mode == "trot":
+            perm = (1, 0, 3, 2)                  # mirrored pair
+            flag_for = jnp.where(gait_flag == 1, 2, 1).astype(jnp.int32)
+        else:
+            perm = (0, 1, 2, 3)                  # same schedule next cycle
+            flag_for = gait_flag
         Hh = cfg.mpc.horizon
         u_next = plan.forces[:, perm, :].reshape(Hh, 12)
         z_next = plan.sol.z.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
         s_next = plan.sol.s.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
-        warm_next = (u_next, z_next, s_next, ~vfalse)
+        warm_next = (u_next, z_next, s_next, ~vfalse, flag_for)
     else:
-        warm_next = (st.warm_u, st.warm_z, st.warm_s, st.warm_valid)
+        warm_next = (st.warm_u, st.warm_z, st.warm_s, st.warm_valid,
+                     st.warm_flag)
 
     # ---- 3. 400 Hz tracking -------------------------------------------
     liftoff_feet = feet_w                     # positions at cycle start
@@ -327,7 +341,8 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,
                      crawling=crawling, warm_u=warm_next[0],
                      warm_z=warm_next[1], warm_s=warm_next[2],
-                     warm_valid=warm_next[3]), metrics
+                     warm_valid=warm_next[3],
+                     warm_flag=warm_next[4]), metrics
 
 
 def _rpy(R):
@@ -357,4 +372,5 @@ def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
                      warm_u=jnp.zeros((Hh, 12), dtype),
                      warm_z=jnp.zeros((Hh, 24), dtype),
                      warm_s=jnp.zeros((Hh, 24), dtype),
-                     warm_valid=jnp.asarray(False))
+                     warm_valid=jnp.asarray(False),
+                     warm_flag=jnp.asarray(0, jnp.int32))
