@@ -14,11 +14,13 @@ import numpy as np
 
 def plot_run(path: str, mu_map, extent: float, com_traj,
              target_xy=None, feet=None, f_att=None, f_rep=None,
-             title: str = "apf_quadruped_tpu run") -> str:
+             footholds=None, title: str = "apf_quadruped_tpu run") -> str:
     """Render one scenario run.
 
     mu_map: (res, res); com_traj: (T, >=2); feet: optional (4, 2);
-    f_att/f_rep: optional (4, 2) field vectors at `feet`.
+    f_att/f_rep: optional (4, 2) field vectors at `feet`; footholds:
+    optional (.., 2) CHOSEN step targets (foothold.optimize output) —
+    plotted so the mu-aware selection is visible against the patch map.
     Returns the written path.
     """
     import matplotlib
@@ -48,6 +50,10 @@ def plot_run(path: str, mu_map, extent: float, com_traj,
             ax.quiver(f[:, 0], f[:, 1], v[:, 0], v[:, 1], color=color,
                       angles="xy", scale_units="xy", scale=1.0,
                       width=0.004, label=f"{name} field")
+    if footholds is not None:
+        fh = np.asarray(footholds).reshape(-1, 2)
+        ax.plot(fh[:, 0], fh[:, 1], "x", color="tab:purple", ms=6,
+                label="chosen footholds")
     lim = min(extent, max(2.5, np.abs(com[:, :2]).max() + 1.0))
     ax.set_xlim(-lim, lim)
     ax.set_ylim(-1.0, max(2.0, lim))
@@ -75,8 +81,13 @@ def plot_metrics(path: str, metrics, title: str = "per-cycle metrics") -> str:
     axes[0, 0].axhline(0.34, color="r", ls="--", label="crawl threshold")
     axes[0, 0].set_title("robustness index (mean)")
     axes[0, 0].legend(fontsize=8)
-    axes[0, 1].plot(t, m["track_err"], "o-")
-    axes[0, 1].set_title("CoM tracking error [m]")
+    axes[0, 1].plot(t, m["track_err"], "o-", label="track err [m]")
+    if "foot_mu" in m:
+        ax2 = axes[0, 1].twinx()
+        ax2.plot(t, m["foot_mu"], "^-", color="tab:green", alpha=0.6)
+        ax2.set_ylabel("foothold mu", color="tab:green")
+        ax2.set_ylim(0, 1)
+    axes[0, 1].set_title("CoM tracking error / foothold mu")
     axes[1, 0].plot(t, m["qp_converged"], "o-", label="WBC conv frac")
     axes[1, 0].plot(t, m["slip_ticks"], "s-", label="slip frac")
     axes[1, 0].set_ylim(-0.05, 1.05)
