@@ -118,3 +118,141 @@ def chol_solve_blocked(H: jnp.ndarray, rhs: jnp.ndarray,
     )(Ht, Rt)
     out = out[:, :B].reshape(n, k, B)
     return jnp.moveaxis(out, -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# split factor / substitution kernels — for solvers that REUSE one
+# factorization across many right-hand sides per iteration (the condensed
+# WBC IPM in ops/qpsolve.py factors H and S_eq once per iteration and
+# back-substitutes ~a dozen vectors against each)
+# ---------------------------------------------------------------------------
+
+def _factor_kernel(n: int):
+    """H_ref (n*n, LANES) -> l_ref (n*n, LANES) packed lower-triangular L,
+    d_ref (n, LANES) = 1/diag(L)."""
+
+    def kernel(h_ref, l_ref, d_ref):
+        L = [[None] * n for _ in range(n)]
+        dinv = [None] * n
+        for j in range(n):
+            s = h_ref[j * n + j, :]
+            for t in range(j):
+                s = s - L[j][t] * L[j][t]
+            d = jax.lax.rsqrt(s)
+            dinv[j] = d
+            L[j][j] = s * d
+            for i in range(j + 1, n):
+                s = h_ref[i * n + j, :]
+                for t in range(j):
+                    s = s - L[i][t] * L[j][t]
+                L[i][j] = s * d
+        for i in range(n):
+            d_ref[i, :] = dinv[i]
+            for j in range(n):
+                l_ref[i * n + j, :] = (L[i][j] if j <= i
+                                       else jnp.zeros_like(dinv[i]))
+
+    return kernel
+
+
+def _sub_kernel(n: int, k: int):
+    """Substitution against a stored factor: l_ref (n*n, LANES),
+    d_ref (n, LANES), rhs_ref (k, n, LANES) -> out_ref (k, n, LANES).
+    The rhs-column loop is a fori_loop (one traced body), the n-recurrence
+    is unrolled."""
+
+    def kernel(l_ref, d_ref, rhs_ref, out_ref):
+        L = [[l_ref[i * n + j, :] for j in range(n)] for i in range(n)]
+        dinv = [d_ref[i, :] for i in range(n)]
+
+        def body(c, _):
+            b = rhs_ref[c]                        # (n, LANES)
+            y = [None] * n
+            for i in range(n):
+                s = b[i]
+                for t in range(i):
+                    s = s - L[i][t] * y[t]
+                y[i] = s * dinv[i]
+            x = [None] * n
+            for i in reversed(range(n)):
+                s = y[i]
+                for t in range(i + 1, n):
+                    s = s - L[t][i] * x[t]
+                x[i] = s * dinv[i]
+            out_ref[c] = jnp.stack(x)
+            return 0
+
+        jax.lax.fori_loop(0, k, body, 0)
+
+    return kernel
+
+
+def _pad_lanes(x, B, Bp, fill=0.0):
+    if Bp == B:
+        return x
+    pad = jnp.full(x.shape[:-1] + (Bp - B,), fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_factor_blocked(H: jnp.ndarray, interpret: bool = False):
+    """Factor batched SPD H: (B, n, n) -> (L (B, n, n), dinv (B, n)).
+
+    Padding lanes factor the identity so rsqrt stays finite."""
+    B, n, _ = H.shape
+    dtype = H.dtype
+    Bp = ((B + LANES - 1) // LANES) * LANES
+    Ht = jnp.moveaxis(H, 0, -1).reshape(n * n, B)
+    if Bp != B:
+        eye = jnp.tile(jnp.eye(n, dtype=dtype).reshape(n * n, 1),
+                       (1, Bp - B))
+        Ht = jnp.concatenate([Ht, eye], axis=1)
+    grid = (Bp // LANES,)
+    L, D = pl.pallas_call(
+        _factor_kernel(n),
+        out_shape=[jax.ShapeDtypeStruct((n * n, Bp), dtype),
+                   jax.ShapeDtypeStruct((n, Bp), dtype)],
+        grid=grid,
+        in_specs=[pl.BlockSpec((n * n, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((n * n, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n, LANES), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        interpret=interpret,
+    )(Ht)
+    L = jnp.moveaxis(L[:, :B].reshape(n, n, B), -1, 0)
+    D = jnp.moveaxis(D[:, :B], -1, 0)
+    return L, D
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_sub_blocked(L: jnp.ndarray, dinv: jnp.ndarray, rhs: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Solve (L L') X = rhs against a stored chol_factor_blocked factor.
+
+    L: (B, n, n), dinv: (B, n), rhs: (B, n, k) -> (B, n, k)."""
+    B, n, _ = L.shape
+    k = rhs.shape[-1]
+    dtype = L.dtype
+    Bp = ((B + LANES - 1) // LANES) * LANES
+    Lt = _pad_lanes(jnp.moveaxis(L, 0, -1).reshape(n * n, B), B, Bp)
+    Dt = _pad_lanes(jnp.moveaxis(dinv, 0, -1), B, Bp, fill=1.0)
+    # rhs -> (k, n, B)
+    Rt = _pad_lanes(jnp.moveaxis(rhs, 0, -1).swapaxes(0, 1), B, Bp)
+    grid = (Bp // LANES,)
+    out = pl.pallas_call(
+        _sub_kernel(n, k),
+        out_shape=jax.ShapeDtypeStruct((k, n, Bp), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n * n, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Lt, Dt, Rt)
+    return jnp.moveaxis(out[..., :B], -1, 0).swapaxes(1, 2)
