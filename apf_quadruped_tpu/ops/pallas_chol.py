@@ -256,3 +256,84 @@ def chol_sub_blocked(L: jnp.ndarray, dinv: jnp.ndarray, rhs: jnp.ndarray,
         interpret=interpret,
     )(Lt, Dt, Rt)
     return jnp.moveaxis(out[..., :B], -1, 0).swapaxes(1, 2)
+
+
+def _tri_solve(L, r):
+    """Solve (L L') x = r with XLA triangular solves (plain path)."""
+    vec = r.ndim == L.ndim - 1
+    if vec:
+        r = r[..., None]
+    w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), w, lower=False)
+    return x[..., 0] if vec else x
+
+# ---------------------------------------------------------------------------
+# SPD factor/solve with a BATCH-ON-LANES fast path under vmap.
+#
+# The closed loop and the latency/sweep harnesses batch this solver by
+# vmapping a single-sample wbc.solve; XLA then lowers the batched (B, n, n)
+# cholesky / triangular solves with the tiny matrix dims on the vector
+# lanes — the same >90%-waste pathology the planner kernels fixed
+# (ops/pallas_chol.py docstring).  jax.custom_batching.custom_vmap lets the
+# BATCHED trace swap in the batch-on-lanes Pallas kernels while the
+# unbatched/explicitly-batched code path keeps the plain XLA lowering
+# (used by the condensed planner backend, whose n = 12H is far too large
+# to unroll).  Kernel routing requires: one mapped axis, n <= 64, TPU.
+# ---------------------------------------------------------------------------
+
+_KERNEL_MAX_N = 64
+
+
+def _plain_factor(H):
+    L = jnp.linalg.cholesky(H)
+    return L, 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
+
+
+@jax.custom_batching.custom_vmap
+def spd_factor(H):
+    return _plain_factor(H)
+
+
+@spd_factor.def_vmap
+def spd_factor_vmap(axis_size, in_batched, H):
+    (hb,) = in_batched
+    if (hb and H.ndim == 3 and H.shape[-1] <= _KERNEL_MAX_N
+            and jax.default_backend() == "tpu"):
+        return chol_factor_blocked(H), (True, True)
+    out = jax.vmap(_plain_factor, in_axes=(0 if hb else None,),
+                   axis_size=axis_size)(H)
+    return out, (True, True)
+
+
+def _plain_sub(L, dinv, r):
+    del dinv
+    return _tri_solve(L, r)
+
+
+@jax.custom_batching.custom_vmap
+def _spd_sub(L, dinv, r):
+    return _plain_sub(L, dinv, r)
+
+
+@_spd_sub.def_vmap
+def _spd_sub_vmap(axis_size, in_batched, L, dinv, r):
+    lb, db, rb = in_batched
+    vec = r.ndim == L.ndim - 1
+    if (lb and db and rb and L.ndim == 3
+            and L.shape[-1] <= _KERNEL_MAX_N
+            and jax.default_backend() == "tpu"):
+        rk = r[..., None] if vec else r
+        out = chol_sub_blocked(L, dinv, rk)
+        return (out[..., 0] if vec else out), True
+    out = jax.vmap(_plain_sub,
+                   in_axes=tuple(0 if b else None for b in in_batched),
+                   axis_size=axis_size)(L, dinv, r)
+    return out, True
+
+
+def spd_solve(F, r):
+    """Solve against a stored spd_factor (L, dinv) pair."""
+    return _spd_sub(F[0], F[1], r)
+
+

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig
+from .pallas_chol import spd_factor as _spd_factor, spd_solve as _factor_solve
 
 
 class QPData(NamedTuple):
@@ -96,77 +97,6 @@ def _chol_solve(L: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     x = jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(L, -1, -2), w, lower=False)
     return x[..., 0] if vec else x
-
-
-# ---------------------------------------------------------------------------
-# SPD factor/solve with a BATCH-ON-LANES fast path under vmap.
-#
-# The closed loop and the latency/sweep harnesses batch this solver by
-# vmapping a single-sample wbc.solve; XLA then lowers the batched (B, n, n)
-# cholesky / triangular solves with the tiny matrix dims on the vector
-# lanes — the same >90%-waste pathology the planner kernels fixed
-# (ops/pallas_chol.py docstring).  jax.custom_batching.custom_vmap lets the
-# BATCHED trace swap in the batch-on-lanes Pallas kernels while the
-# unbatched/explicitly-batched code path keeps the plain XLA lowering
-# (used by the condensed planner backend, whose n = 12H is far too large
-# to unroll).  Kernel routing requires: one mapped axis, n <= 64, TPU.
-# ---------------------------------------------------------------------------
-
-_KERNEL_MAX_N = 64
-
-
-def _plain_factor(H):
-    L = jnp.linalg.cholesky(H)
-    return L, 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
-
-
-@jax.custom_batching.custom_vmap
-def _spd_factor(H):
-    return _plain_factor(H)
-
-
-@_spd_factor.def_vmap
-def _spd_factor_vmap(axis_size, in_batched, H):
-    (hb,) = in_batched
-    if (hb and H.ndim == 3 and H.shape[-1] <= _KERNEL_MAX_N
-            and jax.default_backend() == "tpu"):
-        from .pallas_chol import chol_factor_blocked
-        return chol_factor_blocked(H), (True, True)
-    out = jax.vmap(_plain_factor, in_axes=(0 if hb else None,),
-                   axis_size=axis_size)(H)
-    return out, (True, True)
-
-
-def _plain_sub(L, dinv, r):
-    del dinv
-    return _chol_solve(L, r)
-
-
-@jax.custom_batching.custom_vmap
-def _spd_sub(L, dinv, r):
-    return _plain_sub(L, dinv, r)
-
-
-@_spd_sub.def_vmap
-def _spd_sub_vmap(axis_size, in_batched, L, dinv, r):
-    lb, db, rb = in_batched
-    vec = r.ndim == L.ndim - 1
-    if (lb and db and rb and L.ndim == 3
-            and L.shape[-1] <= _KERNEL_MAX_N
-            and jax.default_backend() == "tpu"):
-        from .pallas_chol import chol_sub_blocked
-        rk = r[..., None] if vec else r
-        out = chol_sub_blocked(L, dinv, rk)
-        return (out[..., 0] if vec else out), True
-    out = jax.vmap(_plain_sub,
-                   in_axes=tuple(0 if b else None for b in in_batched),
-                   axis_size=axis_size)(L, dinv, r)
-    return out, True
-
-
-def _factor_solve(F, r):
-    """Solve against a stored (L, dinv) factor pair."""
-    return _spd_sub(F[0], F[1], r)
 
 
 def _steplen(s, ds, z, dz, frac, mask):

@@ -129,7 +129,13 @@ def step(cfg: EngineConfig, st: SimState, tau: jnp.ndarray,
         gen = (-h + Jc.T @ f_ext.reshape(12))
         gen = gen.at[6:18].add(tau)
         gen = gen.at[0:3].add(f_dist)
-        du = jnp.linalg.solve(M, gen)
+        # M is SPD: route through the batch-on-lanes Cholesky pair so
+        # vmapped sweeps solve all lanes' 18x18 systems on the vector
+        # lanes instead of XLA's one-matrix-at-a-time batched LU
+        # (ops/pallas_chol.spd_factor docs; unbatched call sites keep the
+        # plain XLA path)
+        from ..ops.pallas_chol import spd_factor, spd_solve
+        du = spd_solve(spd_factor(M), gen)
         u = st.u + dt * du
         # failure containment (SURVEY.md §5.3): a blown-up lane (bad
         # torques, contact explosion) must stay FINITE so it can be flagged
