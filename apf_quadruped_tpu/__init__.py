@@ -13,11 +13,16 @@ scenarios per chip, shard over a multi-host TPU mesh with XLA collectives,
 and close the loop through a pure-JAX simulation harness.
 
 Layer map (mirrors SURVEY.md §1 of the reference analysis):
-    sim/          — Gazebo replacement: pure-JAX SRB physics + mu-map terrain
+    sim/          — Gazebo replacement: pure-JAX physics + mu/height terrain
     apf.py        — L6 navigation: per-foot potential fields + robustness index
+    foothold.py   — L6/L5 terrain-scored foothold selection (towr's
+                    foothold-optimization role inside the RoM box)
     planner.py    — L5 trajectory optimization: SRB MPC (replaces TOWR+IPOPT)
     wbc.py        — L4 whole-body tracking QP (replaces the 5 inlined qpSWIFT QPs)
     ops/qpsolve.py— L3 QP solver (replaces qpSWIFT: batched dense Mehrotra IPM)
+    ops/riccati.py, ops/pallas_riccati.py, ops/pallas_chol.py
+                  — L3 structure-exploiting horizon solver + batch-on-lanes
+                    TPU kernels (warm starting, early exit, state rows)
     models/       — L2 dynamics model (replaces iDynTree: SRB + leg kinematics)
     parallel/     — scenario-axis sharding over device meshes
 """
