@@ -158,6 +158,30 @@ class ApfConfig:
     rep_field_in_step: bool = False  # #define REP_FIELD 0 (main.cpp:62)
 
 
+def apf_fast() -> "ApfConfig":
+    """Goal-reaching APF preset (the benchmarks/goal_study.py recalibration).
+
+    The parity default above ships the reference's own gains, and the
+    reference's brake design NEVER arrives: with crawl_threshold=0.34 the
+    fake-crawl gain cut (K_pa -> 0.01, compute_Kpa main.cpp:2803-2845)
+    latches on ANY trot — the robustness EWMA's flat-ground steady state
+    sits near the threshold — leaving the robot 0.66-0.94 m short of a
+    1.5 m goal after 120 s on every case world (CASES.md goal study).
+    This preset keeps every reference formula but recalibrates the
+    trigger so the brake fires only on genuine margin loss:
+
+      * crawl_threshold 0.2 (vs 0.34): below the measured flat-ground
+        steady state (~0.3-0.5), above the hard-patch dips;
+      * rep_field_in_step True (#define REP_FIELD 1, main.cpp:62): the
+        repulsive field steers step targets off slippery patches, which
+        the foothold optimizer (FootholdConfig.enabled) then refines.
+
+    Measured (CASES.md `fh_fast` rows): reaches the goal on all four
+    case worlds with 0 falls where the parity default stalls.
+    """
+    return ApfConfig(crawl_threshold=0.2, rep_field_in_step=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class WbcConfig:
     """Whole-body tracking QP weights. Provenance: main.cpp:1477-1647."""

@@ -54,17 +54,16 @@ def build_config(name: str):
         return EngineConfig(apf=ApfConfig(rep_field_in_step=True))
     if name == "fh_fast":
         # foothold selection carries the slippage avoidance; the
-        # fake-crawl brake only fires on genuinely bad ground (0.2
-        # threshold instead of the reference's 0.34, which latches the
-        # robot ~stationary on ANY trot — goal_study.py measured the
-        # reference gains never reaching a 1.5 m goal in 120 s)
-        return EngineConfig(apf=ApfConfig(crawl_threshold=0.2,
-                                          rep_field_in_step=True))
+        # fake-crawl brake only fires on genuinely bad ground
+        # (config.apf_fast — goal_study.py measured the reference gains
+        # never reaching a 1.5 m goal in 120 s)
+        from apf_quadruped_tpu.config import apf_fast
+        return EngineConfig(apf=apf_fast())
     if name == "nofh_fast":
         # ablation of fh_fast: identical gains/threshold, foothold
         # selection OFF — isolates the foothold optimizer's contribution
-        return EngineConfig(apf=ApfConfig(crawl_threshold=0.2,
-                                          rep_field_in_step=True),
+        from apf_quadruped_tpu.config import apf_fast
+        return EngineConfig(apf=apf_fast(),
                             foothold=FootholdConfig(enabled=False))
     if name == "adaptive":
         # horizon 40 covers the shared 1 s trot/crawl cycle (loop.py)
