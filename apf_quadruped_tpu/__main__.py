@@ -37,9 +37,12 @@ def _cfg(args):
         base = zoo.engine_config_for(robot_name)
     else:
         base = EngineConfig()
+    # crawl/adaptive share a 1 s cycle -> horizon 40; trot and the fixed
+    # strides (gait.NAMED_MODE_FLAGS) run 0.5 s cycles -> horizon 20
+    horizon = 40 if gait_mode in ("crawl", "adaptive") else 20
     return base.replace(
         gait=GaitConfig(mode=gait_mode),
-        mpc=MpcConfig(horizon=40 if gait_mode != "trot" else 20,
+        mpc=MpcConfig(horizon=horizon,
                       sqp_iters=getattr(args, "sqp", 1)),
         solver=SolverConfig(iters=args.iters, reltol=1e-2, abstol=1e-2),
         wbc=WbcConfig(slack_weight_trot=1e6))
@@ -124,9 +127,13 @@ def main(argv=None):
     pr.add_argument("--iters", type=int, default=15)
     pr.add_argument("--plot", type=str, default="",
                     help="write trajectory PNG here")
-    pr.add_argument("--gait", choices=("trot", "crawl", "adaptive"),
+    from .gait import NAMED_MODE_FLAGS
+    pr.add_argument("--gait",
+                    choices=("trot", "crawl", "adaptive")
+                    + tuple(NAMED_MODE_FLAGS),
                     default="trot",
-                    help="gait mode (adaptive = in-loop robustness switch)")
+                    help="gait mode (adaptive = in-loop robustness "
+                         "switch; stride names run that stride fixed)")
     pr.add_argument("--sqp", type=int, default=1,
                     help="SQP outer iterations per MPC solve")
     pr.add_argument("--robot", choices=("dogbot", "anymal", "hyq"),

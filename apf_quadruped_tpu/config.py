@@ -104,8 +104,14 @@ class GaitConfig:
     # cycle (combos C7-C10 — present but never enabled in the reference,
     # main.cpp:489); "adaptive" switches trot <-> crawl in-loop from the
     # robustness EWMA (completing the reference's abandoned crawl path —
-    # set MpcConfig.horizon=40 to cover the shared 1 s cycle)
+    # set MpcConfig.horizon=40 to cover the shared 1 s cycle).  Any name
+    # in gait.NAMED_MODE_FLAGS (walk_overlap, trot_fly, pace, bound,
+    # pronk, gallop, limp — the rest of the transcribed stride library,
+    # quadruped_gait_generator.cc:153-456) runs that stride every cycle
+    # with period `fixed_cycle`; the flight-phase strides exercise the
+    # MPC's all-swing knots.
     mode: str = "trot"
+    fixed_cycle: float = 0.5                   # NAMED_MODE_FLAGS cycle period
     control_dt: float = 0.0025                 # 400 Hz tracking (main.cpp:1107)
     plan_dt: float = 0.025                     # MPC discretization (10 knots / 0.25 s phase)
     # early touch-down handling (main.cpp:2027-2028, 3249-3264): a swing
@@ -360,6 +366,25 @@ class FootholdConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ObserverConfig:
+    """Momentum-based external-wrench observer (runtime.observer), run
+    INSIDE the 400 Hz tracking tick against the WBC's own dynamics
+    evaluation.
+
+    The reference implements the observer (main.cpp:843-930) with gain
+    0.5 but never starts the thread (main.cpp:2909), so its published
+    estimate stays 0 — it provides no tuning.  Gain has units 1/s: the
+    estimate tracks a step wrench with time constant 1/gain, so the
+    reference's 0.5 (tau = 2 s) could never resolve a sub-second push.
+    The live default 10.0 (tau = 0.1 s) detects the force_plugin-style
+    pushes (sim.disturbance) within their window, which is the point of
+    running it (tests/test_leg_disturbance.py pins the recovery).
+    """
+
+    gain: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Pure-JAX simulation harness (the Gazebo replacement)."""
 
@@ -384,6 +409,8 @@ class EngineConfig:
     mpc: MpcConfig = dataclasses.field(default_factory=MpcConfig)
     foothold: FootholdConfig = dataclasses.field(
         default_factory=FootholdConfig)
+    observer: ObserverConfig = dataclasses.field(
+        default_factory=ObserverConfig)
     sim: SimConfig = dataclasses.field(default_factory=SimConfig)
 
     def replace(self, **kwargs) -> "EngineConfig":

@@ -148,6 +148,31 @@ GAIT_FLAG_COMBOS: Dict[int, Tuple[str, ...]] = {
     # to 1.0 s.  Used by the adaptive gait mode so trot and crawl share a
     # cycle length and the robustness switch is pure data (a flag select).
     15: ("stand", "trot", "stand", "trot2"),
+    # ---- the remaining transcribed quadruped strides, each behind its
+    # own flag (reference quadruped_gait_generator.cc:153-456 ships them
+    # in the stride library but SetCombo never wires them; here every
+    # stride is executable).  Flight-phase gaits (trot_fly, pace, bound,
+    # pronk, gallop) produce all-swing knots — the MPC's zero-contact
+    # case, which trot never exercises.
+    16: ("stand", "walk_overlap"),
+    17: ("stand", "trot_fly"),
+    18: ("stand", "pace"),
+    19: ("stand", "bound"),
+    20: ("stand", "pronk"),
+    21: ("stand", "gallop"),
+    22: ("stand", "limp"),
+}
+
+# closed-loop gait-mode names -> fixed gait flag (GaitConfig.mode; the
+# trot/crawl/adaptive modes keep their dedicated loop logic)
+NAMED_MODE_FLAGS: Dict[str, int] = {
+    "walk_overlap": 16,
+    "trot_fly": 17,
+    "pace": 18,
+    "bound": 19,
+    "pronk": 20,
+    "gallop": 21,
+    "limp": 22,
 }
 
 MAX_PHASES = 16

@@ -42,6 +42,7 @@ from ..config import EngineConfig
 from ..models import rbd, srb
 from ..sim import disturbance, physics
 from ..sim import terrain as terrain_mod
+from . import observer
 
 
 class LoopState(NamedTuple):
@@ -67,6 +68,11 @@ class LoopState(NamedTuple):
     # on the adaptive trot->crawl switch: qp_converged 0 and a fall with
     # stale warm data vs healthy cold)
     warm_flag: jnp.ndarray
+    # momentum-observer state (runtime.observer): external-wrench
+    # estimate carried across cycles, updated every tracking tick from
+    # the WBC's own M/h/Jc evaluation (the reference's estimate_loop
+    # role, main.cpp:843-930 — disabled upstream, live here)
+    obs: observer.ObserverState
 
 
 class CycleMetrics(NamedTuple):
@@ -91,6 +97,13 @@ class CycleMetrics(NamedTuple):
     # () mean fraction of (leg, tick) pairs in the early-touch-down
     # latched state (swing cut short on measured contact)
     early_td_frac: jnp.ndarray
+    # (6,) external-wrench estimate [f(3); tau(3)] at cycle end (the
+    # reference's estimation_ee topic, main.cpp:1670-1685) and () peak
+    # estimated force magnitude over the cycle — the disturbance-
+    # detection observable (cross-checked against injected pushes in
+    # tests/test_leg_disturbance.py)
+    wrench_est: jnp.ndarray
+    wrench_peak: jnp.ndarray
 
 
 def _phase_gait_flag(cycle_idx):
@@ -139,6 +152,14 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         # once per cycle, one at a time
         gait_flag = jnp.asarray(4, jnp.int32)
         crawling = ~vfalse
+    elif cfg.gait.mode in gait.NAMED_MODE_FLAGS:
+        # fixed stride from the transcribed library (pace, bound, ... —
+        # gait.NAMED_MODE_FLAGS): every cycle runs the same flag, so the
+        # warm start carries unpermuted (the identity branch below)
+        cycle_s = cfg.gait.fixed_cycle
+        gait_flag = jnp.asarray(gait.NAMED_MODE_FLAGS[cfg.gait.mode],
+                                jnp.int32)
+        crawling = vfalse
     elif cfg.gait.mode == "adaptive":
         # data-driven switch with hysteresis: enter the crawl combo when
         # the robustness EWMA drops below crawl_enter_threshold, return
@@ -153,6 +174,8 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
                              rob_mean < cfg.apf.crawl_enter_threshold)
         gait_flag = jnp.where(crawling, 4, 15).astype(jnp.int32)
     else:
+        if cfg.gait.mode != "trot":
+            raise ValueError(f"unknown gait mode {cfg.gait.mode!r}")
         cycle_s = cfg.gait.trot_cycle
         gait_flag = _phase_gait_flag(st.cycle_idx)
         crawling = vfalse
@@ -240,7 +263,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
     states_knots = jnp.concatenate([x0[None], plan.states], axis=0)
 
     def tick(carry, k):
-        sim_st, ast, td_flag, td_pos, prev_contact = carry
+        sim_st, ast, td_flag, td_pos, prev_contact, obs = carry
         t = k.astype(dtype) * cfg.sim.dt
         info = gait.phase_info(gait_flag, t, cycle, dtype=dtype)
         contact = info["contact"]
@@ -308,19 +331,27 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         ast = apf.accumulate_margin(cfg.apf, ast, cinfo.forces,
                                     jnp.asarray(cfg.sim.dt, dtype))
 
+        # momentum-observer tick reusing the WBC's dynamics evaluation
+        # (estimate_loop's role, main.cpp:898-913 — one M/h/Jc per tick)
+        obs = observer.update_from_dyn(
+            obs, out.M, out.h_bias, out.Jc, sim_st.u, cinfo.forces_avg,
+            jnp.asarray(cfg.sim.dt, dtype), cfg.observer.gain,
+            mdot_u=observer.mdot_u(cfg, sim_st.R_wb, sim_st.q, sim_st.u))
+
         com_now = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb,
                                    sim_st.q)
         track_err = jnp.linalg.norm(com_now - xk[3:6])
-        return ((sim_st, ast, td_flag, td_pos, cinfo.in_contact),
+        return ((sim_st, ast, td_flag, td_pos, cinfo.in_contact, obs),
                 (out.sol.converged, cinfo.slipping.any(),
                  jnp.abs(out.tau).max(), track_err,
                  jnp.mean(td_flag.astype(dtype)),
-                 jnp.abs(out.udot[6:18]).max()))
+                 jnp.abs(out.udot[6:18]).max(),
+                 jnp.linalg.norm(obs.w[0:3])))
 
     carry0 = (st.sim, ast, jnp.zeros(4, bool) ^ vfalse, liftoff_feet,
-              jnp.zeros(4, bool) ^ vfalse)
-    (sim_st, ast, _, _, _), (conv, slip, taumax, terr_track, td_frac,
-                             qddmax) = (
+              jnp.zeros(4, bool) ^ vfalse, st.obs)
+    (sim_st, ast, _, _, _, obs), (conv, slip, taumax, terr_track, td_frac,
+                                  qddmax, wpeak) = (
         jax.lax.scan(tick, carry0, jnp.arange(n_ticks)))
 
     com_end = rbd.com_position(robot, sim_st.p_base, sim_st.R_wb, sim_st.q)
@@ -337,12 +368,14 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         qdd_max=jnp.max(qddmax),
         foot_mu=jnp.mean(terrain_mod.sample_mu(terr, step_xy)),
         track_err=jnp.mean(terr_track),
-        early_td_frac=jnp.mean(td_frac))
+        early_td_frac=jnp.mean(td_frac),
+        wrench_est=obs.w,
+        wrench_peak=jnp.max(wpeak))
     return LoopState(sim=sim_st, apf=ast, cycle_idx=st.cycle_idx + 1,
                      crawling=crawling, warm_u=warm_next[0],
                      warm_z=warm_next[1], warm_s=warm_next[2],
                      warm_valid=warm_next[3],
-                     warm_flag=warm_next[4]), metrics
+                     warm_flag=warm_next[4], obs=obs), metrics
 
 
 def _rpy(R):
@@ -373,4 +406,9 @@ def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
                      warm_z=jnp.zeros((Hh, 24), dtype),
                      warm_s=jnp.zeros((Hh, 24), dtype),
                      warm_valid=jnp.asarray(False),
-                     warm_flag=jnp.asarray(0, jnp.int32))
+                     warm_flag=jnp.asarray(0, jnp.int32),
+                     # spawn is at rest (u = 0) so the momentum offset
+                     # p0 = (M u)[0:6] is exactly zero
+                     obs=observer.ObserverState(y_int=jnp.zeros(6, dtype),
+                                                w=jnp.zeros(6, dtype),
+                                                p0=jnp.zeros(6, dtype)))

@@ -38,11 +38,57 @@ def update(cfg: EngineConfig, st: ObserverState, p_base, R_wb, q, u,
            contact_forces, dt, gain: float = 0.5) -> ObserverState:
     """One observer tick.  contact_forces: (4,3) world forces at the feet
     (measured, the role of the bumper sensors)."""
+    import jax
+
     M = rbd.mass_matrix(cfg.robot, R_wb, q)
     h = rbd.bias_forces(cfg.robot, p_base, R_wb, q, u)
     Jc = rbd.contact_jacobian_mixed(cfg.robot, p_base, R_wb, q)
+    return update_from_dyn(st, M, h, Jc, u, contact_forces, dt, gain,
+                           mdot_u=mdot_u(cfg, R_wb, q, u))
+
+
+def mdot_u(cfg: EngineConfig, R_wb, q, u):
+    """(18,) Mdot @ u — the convective momentum term, exact via one jvp
+    of the mass matrix along the state velocity (Rdot = skew(omega) R,
+    qdot = u[6:18]).
+
+    The momentum identity d/dt(M u) = S'tau + Jc'f - h + Mdot u (from
+    the equations of motion M udot + h = forces) makes this term part of
+    the observer's "known" flow; the reference realizes the same thing
+    as the transposed-Coriolis form C' qdot from iDynTree
+    (main.cpp:898-907).  Dropping it leaves a bias ~ Mdot u (measured
+    ~5 N on a trotting DogBot — zero only at rest).
+    """
+    import jax
+
+    from ..ops.rotations import skew
+
+    Rdot = skew(u[3:6]) @ R_wb
+    _, Md = jax.jvp(lambda R, qq: rbd.mass_matrix(cfg.robot, R, qq),
+                    (R_wb, q), (Rdot, u[6:18]))
+    return Md @ u
+
+
+def update_from_dyn(st: ObserverState, M, h, Jc, u, contact_forces, dt,
+                    gain, mdot_u) -> ObserverState:
+    """Observer tick against ALREADY-EVALUATED dynamics (M, h, Jc).
+
+    The 400 Hz tracking tick computes exactly these for the WBC
+    (wbc._build_qp, one rbd evaluation per tick); the in-loop observer
+    reuses them — the reference's estimate_loop re-evaluates the model in
+    its own thread (main.cpp:843-930).  The residual update:
+        y_int += ((Jc' f + Mdot u)[0:6] - h[0:6] + w) dt
+                                                     (main.cpp:898-907)
+        w      = gain * ((M u)[0:6] - y_int - p0)    (main.cpp:909-913)
+    `u` should be the velocity AFTER the physics step whose measured
+    contact forces are passed (the freshest momentum the residual
+    explains); M/h/Jc at the pre-step state lag one tick, negligible at
+    2.5 ms.  `contact_forces` should be the substep-AVERAGED measurement
+    (physics.ContactInfo.forces_avg) — the impulse the momentum actually
+    saw; `mdot_u` from mdot_u() above.
+    """
     p = (M @ u)[0:6]
-    known = (Jc.T @ contact_forces.reshape(12) - h)[0:6]
+    known = (Jc.T @ contact_forces.reshape(12) - h + mdot_u)[0:6]
     y_int = st.y_int + (known + st.w) * dt
     w = gain * (p - y_int - st.p0)
     return ObserverState(y_int=y_int, w=w, p0=st.p0)

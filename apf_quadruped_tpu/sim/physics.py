@@ -47,6 +47,12 @@ class ContactInfo(NamedTuple):
     forces: jnp.ndarray    # (4,3) world contact force per foot
     in_contact: jnp.ndarray  # (4,) bool
     slipping: jnp.ndarray  # (4,) bool — Coulomb clamp engaged while loaded
+    # (4,3) contact force AVERAGED over the step's physics substeps —
+    # the impulse-consistent measurement the momentum observer needs
+    # (penalty contact oscillates at substep rate; the last substep's
+    # instantaneous force is a biased sample of the tick's impulse).
+    # None inside contact_forces(); filled by step().
+    forces_avg: jnp.ndarray | None = None
 
 
 def contact_forces(cfg: EngineConfig, st: SimState,
@@ -155,7 +161,7 @@ def step(cfg: EngineConfig, st: SimState, tau: jnp.ndarray,
 
     st, infos = jax.lax.scan(substep, st, None, length=s.substeps)
     last = jax.tree.map(lambda x: x[-1], infos)
-    return st, last
+    return st, last._replace(forces_avg=jnp.mean(infos.forces, axis=0))
 
 
 def initial_state(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,

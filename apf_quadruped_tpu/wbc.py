@@ -93,6 +93,13 @@ class WbcOutput(NamedTuple):
     udot: jnp.ndarray        # (18,)
     forces: jnp.ndarray      # (4,3)
     sol: QPSolution
+    # the tick's dynamics evaluation (M (18,18), bias h (18,), contact
+    # Jacobian Jc (12,18)) — exposed so the in-loop momentum observer
+    # (runtime.observer.update_from_dyn) reuses it instead of
+    # re-evaluating the model like the reference's estimate_loop thread
+    M: jnp.ndarray | None = None
+    h_bias: jnp.ndarray | None = None
+    Jc: jnp.ndarray | None = None
 
 
 def _build_qp(cfg: EngineConfig, st: WbcState,
@@ -331,4 +338,5 @@ def _solve_impl(cfg: EngineConfig, st: WbcState, ref: WbcRefs) -> WbcOutput:
                                    -Js6[3:6]], axis=0)    # (6, 12)
         tau = tau + Tinv_bj.T @ r[0:6]
     tau = jnp.clip(tau, -cfg.robot.tau_max, cfg.robot.tau_max)
-    return WbcOutput(tau=tau, udot=udot, forces=f.reshape(4, 3), sol=sol)
+    return WbcOutput(tau=tau, udot=udot, forces=f.reshape(4, 3), sol=sol,
+                     M=M, h_bias=h, Jc=Jc)

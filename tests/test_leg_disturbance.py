@@ -68,6 +68,56 @@ def test_leg_push_torques_base():
         om_leg, om_base)
 
 
+def test_in_loop_observer_recovers_push():
+    """The IN-LOOP momentum observer (runtime.loop tick, reusing the
+    WBC's M/h/Jc — reference estimate_loop, main.cpp:898-913) recovers
+    an injected base push during its window: CycleMetrics.wrench_est
+    magnitude within ~20% of the commanded force while walking."""
+    push_x = 25.0
+    sched = disturbance.impulses([(0.6, 2.0, push_x, 0.0, 0.0)], dtype=DT)
+    st = loop.init(CFG, dtype=DT)
+    terr = terrain.flat(CFG.sim, dtype=DT)
+    st2, m = loop.run(CFG, st, terr, jnp.asarray([0.0, 1.0], DT), sched,
+                      n_cycles=4)
+    m = jax.tree.map(np.asarray, m)
+    # cycle 0 ends at t=0.5, before the push: estimate near zero
+    assert np.linalg.norm(m.wrench_est[0, 0:3]) < 0.2 * push_x
+    # cycles 1 and 2 end at t=1.0 / 1.5, inside the window (tau = 1/gain
+    # = 0.1 s << elapsed): x-force recovered within 20%
+    for k in (1, 2):
+        assert abs(m.wrench_est[k, 0] - push_x) < 0.2 * push_x, (
+            k, m.wrench_est[k])
+        assert abs(m.wrench_est[k, 1]) < 0.2 * push_x
+    # the robot still walks through it
+    assert float(st2.sim.R_wb[2, 2]) > 0.9
+
+
+def test_in_loop_observer_leg_push():
+    """A push applied at a LEG link (force_plugin.cpp:130-189) reaches
+    the estimate's force rows, and the estimate TRACKS the time-varying
+    force: the case-1 sinusoidal push f_x = 12 sin(t) at the FL foot
+    (same disturbance the stability test below absorbs) is recovered at
+    each cycle end within ~25%.  (A sustained CONSTANT lateral foot
+    push is not testable this way: it drags the stance foot through its
+    friction budget until the robot slips and falls — measured 8-18 N
+    all topple it — which is exactly the slippage physics the APF layer
+    exists to avoid.)"""
+    amp = 12.0
+    sched = disturbance.leg_push(2, (amp, 0.0, 0.0), 0.2, 2.0,
+                                 omega=1.0, dtype=DT)
+    st = loop.init(CFG, dtype=DT)
+    terr = terrain.flat(CFG.sim, dtype=DT)
+    _, m = loop.run(CFG, st, terr, jnp.asarray([0.0, 1.0], DT), sched,
+                    n_cycles=4)
+    m = jax.tree.map(np.asarray, m)
+    # cycles 1-3 end at t = 1.0, 1.5 (inside the window; tau = 0.1 s):
+    # w_x ~= 12 sin(t_end)
+    for k, t_end in ((1, 1.0), (2, 1.5)):
+        expect = amp * np.sin(t_end)
+        assert abs(m.wrench_est[k, 0] - expect) < 0.25 * amp, (
+            k, expect, m.wrench_est[k])
+
+
 def test_case1_sinusoidal_leg_push_in_loop():
     """force_plugin case-1 analogue (force_plugin.cpp:132-139:
     sinusoidal push, here routed to the FL leg): the closed loop must
