@@ -136,6 +136,69 @@ def step_batch(cfg: EngineConfig, scn: Scenario, states, n_cycles: int):
     return jax.vmap(one)(scn, states)
 
 
+def _concat_metrics(parts):
+    """Concatenate per-chunk CycleMetrics (B, n, ...) along the cycle
+    axis."""
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+
+
+def run_resumable(cfg: EngineConfig, scn: Scenario, n_cycles: int,
+                  chunk: int = 2, ckpt_dir: str | None = None,
+                  _crash_after: int | None = None):
+    """Chunked batch driver with orbax checkpoint/resume (SURVEY.md §5.4
+    — the persistence role of the reference's Gazebo state logs,
+    DogBotV4/log/*/gzserver/state.log, made useful: a preempted sweep
+    resumes mid-run and finishes with results IDENTICAL to an
+    uninterrupted one; tests/test_sweep.py pins that equality).
+
+    Drives init_batch/step_batch in `chunk`-cycle pieces (small compiled
+    program, reused across chunks).  After every chunk the sweep cursor,
+    the batched LoopStates, and the accumulated CycleMetrics are saved
+    to `ckpt_dir` (no directory = no persistence, plain chunked run).
+    On entry, an existing checkpoint resumes from its cursor.
+
+    Returns (final LoopStates, CycleMetrics stacked (B, n_cycles, ...)).
+
+    _crash_after: test hook — raise after that many chunks (simulating
+    preemption AFTER the save, like a SIGKILL between chunks).
+    """
+    from . import checkpoint, loop
+
+    states = init_batch(cfg, scn)
+    treedef = jax.tree.structure(states)
+    mdef = jax.tree.structure(loop.CycleMetrics(*loop.CycleMetrics._fields))
+    done = 0
+    parts = []
+    if ckpt_dir is not None and checkpoint.exists(ckpt_dir):
+        raw = checkpoint.restore(ckpt_dir)
+        done = int(raw["cycles_done"])
+        states = jax.tree.unflatten(
+            treedef, [jnp.asarray(x) for x in raw["state_leaves"]])
+        if done > 0:
+            parts = [jax.tree.unflatten(
+                mdef, [jnp.asarray(x) for x in raw["metric_leaves"]])]
+    chunks_run = 0
+    while done < n_cycles:
+        n = min(chunk, n_cycles - done)
+        states, m = step_batch(cfg, scn, states, n)
+        parts.append(m)
+        done += n
+        chunks_run += 1
+        if ckpt_dir is not None:
+            acc = _concat_metrics(parts)
+            parts = [acc]
+            checkpoint.save(ckpt_dir, {
+                "cycles_done": done,
+                "state_leaves": [np.asarray(x)
+                                 for x in jax.tree.leaves(states)],
+                "metric_leaves": [np.asarray(x)
+                                  for x in jax.tree.leaves(acc)]})
+        if _crash_after is not None and chunks_run >= _crash_after \
+                and done < n_cycles:
+            raise RuntimeError(f"simulated preemption after {done} cycles")
+    return states, _concat_metrics(parts)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_cycles"))
 def run_batch(cfg: EngineConfig, scn: Scenario, n_cycles: int) -> SweepResult:
     """vmap over the scenario batch (single device)."""

@@ -105,6 +105,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--cycles", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default="",
+                    help="checkpoint directory: every chunk saves the "
+                         "sweep cursor + states there (runtime.sweep."
+                         "run_resumable), and a killed run resumes "
+                         "mid-cell with identical results")
     args = ap.parse_args()
 
     import jax
@@ -131,20 +136,22 @@ def main():
         for case in map(int, args.cases.split(",")):
             scn = build_scenarios(cfg, case, args.batch, args.seed, dtype)
             t0 = time.perf_counter()
-            states = sweep.init_batch(cfg, scn)
-            slip, conv, rob, fmu = [], [], [], []
-            # cycles actually simulated: whole chunks only (trailing
-            # cycles of a non-multiple --cycles are dropped, and the
-            # reported cycles/sim_s must say so)
-            cycles_run = (n_cycles // chunk) * chunk
-            for _ in range(n_cycles // chunk):
-                states, m = sweep.step_batch(cfg, scn, states, chunk)
-                slip.append(np.asarray(m.slip_ticks))
-                conv.append(np.asarray(m.qp_converged))
-                rob.append(np.asarray(m.rob_mean))
-                fmu.append(np.asarray(m.foot_mu))
+            # chunked driver with optional per-cell checkpoint/resume: a
+            # preempted sweep restarted with the same --checkpoint picks
+            # up at the saved cursor and produces identical stats
+            ck = (os.path.join(args.checkpoint,
+                               f"{config_name}_case{case}")
+                  if args.checkpoint else None)
+            states, m = sweep.run_resumable(cfg, scn, n_cycles=n_cycles,
+                                            chunk=chunk, ckpt_dir=ck)
             jax.block_until_ready(states)
             wall = time.perf_counter() - t0
+            cycles_run = n_cycles
+            slip = np.asarray(m.slip_ticks)          # (B, n_cycles)
+            conv = np.asarray(m.qp_converged)
+            fmu = np.asarray(m.foot_mu)
+            # steady-state tail: the last chunk's mean robustness
+            rob_tail = np.asarray(m.rob_mean)[:, -chunk:]
             final_com = np.asarray(states.sim.p_base)  # base ~ CoM xy
             upright = np.asarray(states.sim.R_wb)[:, 2, 2]
             progress = final_com[:, 1] - np.asarray(scn.spawn_xy)[:, 1]
@@ -156,16 +163,14 @@ def main():
                 "sim_s": round(cycles_run * (1.0 if cfg.gait.mode ==
                                              "adaptive" else 0.5), 1),
                 "fell_pct": round(100 * float(np.mean(upright < 0.7)), 2),
-                "slip_frac": round(float(np.mean(np.stack(slip))), 4),
+                "slip_frac": round(float(np.mean(slip)), 4),
                 "progress_m": round(float(np.mean(progress)), 3),
                 "goal_dist": round(float(np.mean(goal)), 3),
-                # steady-state tail: the LAST chunk's mean robustness
-                # (slip_frac/qp_conv average all chunks)
-                "rob_final": round(float(np.mean(rob[-1])), 3),
+                "rob_final": round(float(np.mean(rob_tail)), 3),
                 # mean terrain mu under the CHOSEN step targets: the
                 # foothold-selection observable (aware vs aware_nofh)
-                "foot_mu": round(float(np.mean(np.stack(fmu))), 3),
-                "qp_conv": round(float(np.mean(np.stack(conv))), 3),
+                "foot_mu": round(float(np.mean(fmu)), 3),
+                "qp_conv": round(float(np.mean(conv)), 3),
                 "wall_s": round(wall, 1),
             }), flush=True)
 

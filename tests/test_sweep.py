@@ -71,6 +71,43 @@ def test_checkpoint_roundtrip():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_resumable_sweep_survives_kill():
+    """run_resumable is the checkpoint/resume SUBSYSTEM (SURVEY.md §5.4):
+    kill the chunked driver after chunk 1, resume from the checkpoint
+    directory, and the final states AND the full stacked metrics must be
+    IDENTICAL to an uninterrupted run."""
+    scn = sweep.random_scenarios(CFG, n=4, seed=7)
+    states_ref, m_ref = sweep.run_resumable(CFG, scn, n_cycles=6, chunk=2)
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = d + "/sweep_ckpt"
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            sweep.run_resumable(CFG, scn, n_cycles=6, chunk=2, ckpt_dir=ck,
+                                _crash_after=1)
+        assert checkpoint.exists(ck)
+        # resume: picks up at cycle 2, finishes the remaining 4
+        states, m = sweep.run_resumable(CFG, scn, n_cycles=6, chunk=2,
+                                        ckpt_dir=ck)
+        for a, b in zip(jax.tree.leaves(states), jax.tree.leaves(states_ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(m), jax.tree.leaves(m_ref)):
+            assert np.asarray(a).shape == np.asarray(b).shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert m.com.shape[1] == 6
+
+
+def test_resumable_no_dir_matches_run_batch():
+    """Without a checkpoint dir, run_resumable is the plain chunked
+    driver and reproduces run_batch exactly."""
+    scn = sweep.random_scenarios(CFG, n=4, seed=3)
+    res = sweep.run_batch(CFG, scn, n_cycles=2)
+    states, m = sweep.run_resumable(CFG, scn, n_cycles=2, chunk=1)
+    np.testing.assert_allclose(np.asarray(m.com),
+                               np.asarray(res.metrics.com),
+                               rtol=0, atol=1e-12)
+    assert np.isfinite(np.asarray(states.sim.q)).all()
+
+
 def test_chunked_step_matches_run_batch():
     """Driving the batch in 2 chunks of 1 cycle through
     init_batch/step_batch must reproduce run_batch(n_cycles=2) exactly
