@@ -525,7 +525,7 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
 # ---------------------------------------------------------------------------
 
 def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
-                w_clip, min_slack, warm_floor):
+                w_clip, min_slack, warm_floor, has_warm):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
     sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
@@ -533,7 +533,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
     Additions over the 3-kernel pipeline:
       * WARM START (PERF.md lever 1): per-lane valid flag selects a
         previous solve's (u, z, s) — floored to warm_floor — over the
-        cold init;
+        cold init.  has_warm is STATIC: a cold call (warm=None, e.g.
+        open-loop benchmarks) omits the three (H, ., LANES) warm input
+        streams and their init selects entirely — the r4 small-batch
+        regression was exactly this plumbing at <= 2 grid blocks;
       * EARLY EXIT (lever 3): once EVERY lane of the 128-lane block has
         converged, the remaining iterations' factor + two vector passes
         are skipped via pl.when (one scalar reduction per iteration);
@@ -542,15 +545,18 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         Cx' diag(Wx) Cx folds into the Riccati cost-to-go via the same
         MXU Gram trick as the input rows (CC @ Wx), the costates get
         Cx' zx, and the vector passes get the state rows' rhs at the
-        value gradient.  mc = 0 generates byte-identical code to the
-        row-free kernel (every state block is under `if mc:`).
+        value gradient.  mc = 0 / has_warm = False generate
+        byte-identical code to a row-free / cold kernel (every block is
+        under `if mc:` / `if has_warm:`).
     """
 
     def kernel(*refs):
         (g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref, a_ref, b_ref,
-         qlin_ref, mask_ref, h_ref, x0_ref, wu_ref, wz_ref, ws_ref,
-         wv_ref) = refs[:15]
-        i = 15
+         qlin_ref, mask_ref, h_ref, x0_ref) = refs[:11]
+        i = 11
+        if has_warm:
+            wu_ref, wz_ref, ws_ref, wv_ref = refs[i:i + 4]
+            i += 4
         if mc:
             cmat_ref, ccg_ref, cx_ref, maskx_ref = refs[i:i + 4]
             i += 4
@@ -567,7 +573,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
 
         dt = x0_ref.dtype
         fone = jnp.ones((LANES,), dt)
-        valid = wv_ref[0] > 0.5                   # (LANES,) warm lanes
+        if has_warm:
+            valid = wv_ref[0] > 0.5               # (LANES,) warm lanes
 
         def cmat_vec(v):
             """C @ v: (mc, nx) x (nx, L) -> (mc, L) on the MXU."""
@@ -581,49 +588,45 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 cmat_ref[:], v, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dt)
 
-        # ---- init: u = 0 | warm u; s/z from the (pre-masked) h | warm --
-        def init_k(k, mx):
-            u_ref[k] = jnp.where(valid[None, :], wu_ref[k],
-                                 jnp.zeros((nu, LANES), dt))
-            return jnp.maximum(mx, jnp.max(-h_ref[k], axis=0))
-        r0max = jax.lax.fori_loop(0, H, init_k, jnp.full((LANES,), -jnp.inf,
-                                                         dt))
-        shift = jnp.maximum(0.0, r0max) + 1.0
+        # ---- init (whole-array: no per-knot loops) --------------------
+        if has_warm:
+            vb = valid[None, None, :]
+            u_ref[:] = jnp.where(vb, wu_ref[:],
+                                 jnp.zeros((H, nu, LANES), dt))
+        else:
+            u_ref[:] = jnp.zeros((H, nu, LANES), dt)
+        h_all = h_ref[:]
+        shift = jnp.maximum(0.0, jnp.max(-h_all, axis=(0, 1))) + 1.0
+        s_cold = h_all + shift[None, None, :]
+        z_cold = jnp.maximum(-h_all, 0.0) + 1.0
+        if has_warm:
+            s_ref[:] = jnp.where(vb, jnp.maximum(ws_ref[:], warm_floor),
+                                 s_cold)
+            z_ref[:] = jnp.where(vb, jnp.maximum(wz_ref[:], warm_floor),
+                                 z_cold)
+        else:
+            s_ref[:] = s_cold
+            z_ref[:] = z_cold
 
         if mc:
             # state-row init needs the ZERO-control rollout (scan parity:
             # r0x is evaluated at u = 0 even for warm lanes)
-            def fwd0(k, carry):
-                x, mx = carry
+            def fwd0(k, x):
                 xn = jnp.sum(a_ref[k].astype(dt) * x[None, :, :], axis=1)
-                r0xk = maskx_ref[k] * cmat_vec(xn) - cx_ref[k]
-                rzx_ref[k] = r0xk
-                return xn, jnp.maximum(mx, jnp.max(r0xk, axis=0))
-            _, r0xmax = jax.lax.fori_loop(
-                0, H, fwd0,
-                (x0_ref[:], jnp.full((LANES,), -jnp.inf, dt)),
-                unroll=False)
-            shiftx = jnp.maximum(0.0, r0xmax) + 1.0
+                rzx_ref[k] = maskx_ref[k] * cmat_vec(xn) - cx_ref[k]
+                return xn
+            jax.lax.fori_loop(0, H, fwd0, x0_ref[:], unroll=False)
+            r0x = rzx_ref[:]
+            shiftx = jnp.maximum(0.0, jnp.max(r0x, axis=(0, 1))) + 1.0
+            sx_ref[:] = -r0x + shiftx[None, None, :]
+            zx_ref[:] = jnp.maximum(r0x, 0.0) + 1.0
 
-        def init_sz(k, acc):
-            s_ref[k] = jnp.where(valid[None, :],
-                                 jnp.maximum(ws_ref[k], warm_floor),
-                                 h_ref[k] + shift[None, :])
-            z_ref[k] = jnp.where(valid[None, :],
-                                 jnp.maximum(wz_ref[k], warm_floor),
-                                 jnp.maximum(-h_ref[k], 0.0) + 1.0)
-            qn, hn, me = acc
-            if mc:
-                sx_ref[k] = -rzx_ref[k] + shiftx[None, :]
-                zx_ref[k] = jnp.maximum(rzx_ref[k], 0.0) + 1.0
-                hn = hn + jnp.sum(cx_ref[k] * cx_ref[k], axis=0)
-                me = me + jnp.sum(maskx_ref[k], axis=0)
-            qn = qn + jnp.sum(qlin_ref[k] * qlin_ref[k], axis=0)
-            hn = hn + jnp.sum(h_ref[k] * h_ref[k], axis=0)
-            me = me + jnp.sum(mask_ref[k], axis=0)
-            return qn, hn, me
-        qn2, hn2, m_eff = jax.lax.fori_loop(
-            0, H, init_sz, (0.0 * fone, 0.0 * fone, 0.0 * fone))
+        qn2 = jnp.sum(qlin_ref[:] * qlin_ref[:], axis=(0, 1))
+        hn2 = jnp.sum(h_all * h_all, axis=(0, 1))
+        m_eff = jnp.sum(mask_ref[:], axis=(0, 1))
+        if mc:
+            hn2 = hn2 + jnp.sum(cx_ref[:] * cx_ref[:], axis=(0, 1))
+            m_eff = m_eff + jnp.sum(maskx_ref[:], axis=(0, 1))
         qnorm = 1.0 + jnp.sqrt(qn2)
         hnorm = 1.0 + jnp.sqrt(hn2)
         m_eff = jnp.maximum(m_eff, 1.0)
@@ -694,54 +697,42 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             res = jnp.maximum(jnp.sqrt(rx2) / qnorm, jnp.sqrt(rz2) / hnorm)
             return mu, res
 
-        def factor():
-            """Riccati backward matrix pass -> l_ref, d_ref, k_ref."""
-            def bwd(kk, Pb):
-                k = H - 1 - kk
-                Ak = a_ref[k].astype(dt)
-                Bk = b_ref[k].astype(dt)
-                if mc:
-                    # state-row barrier: Pb += C' diag(wx) C = CC @ wx
-                    px_flat = jax.lax.dot_general(
-                        ccg_ref[:], wx_ref[k], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(dt)
-                    Pb = Pb + px_flat.reshape(nx, nx, LANES)
-                rk_flat = jax.lax.dot_general(
-                    gg_ref[:], w_ref[k], (((1,), (0,)), ((), ())),
+        def knot_factor(Ak, Bk, Pb, wk, wxk):
+            """One Riccati factor step at a knot: barrier fold-in,
+            Cholesky of M_k, gains K_k.  Pure function of in-register
+            values; returns (L rows, dinv, Kk list, Pn)."""
+            if mc:
+                # state-row barrier: Pb += C' diag(wx) C = CC @ wx
+                px_flat = jax.lax.dot_general(
+                    ccg_ref[:], wxk, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dt)
-                Rk = rk_flat.reshape(nu, nu, LANES) + rmatf_ref[:][:, :, None]
-                BtP = sum(Bk[i][:, None, :] * Pb[i][None, :, :]
-                          for i in range(nx))
-                Mk = Rk + sum(BtP[:, xx, :][:, None, :] * Bk[xx][None, :, :]
-                              for xx in range(nx))
-                L, dinv = _chol_rows(Mk, nu)
-                BtPA = sum(BtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
-                           for xx in range(nx))
-                Kk = _subst_rows(L, dinv, [BtPA[i] for i in range(nu)], nu)
-                AtP = sum(Ak[i][:, None, :] * Pb[i][None, :, :]
-                          for i in range(nx))
-                Pn = (qmat_ref[:][:, :, None]
-                      + sum(AtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
-                            for xx in range(nx))
-                      - sum(jnp.stack(Kk)[uu][:, None, :]
-                            * BtPA[uu][None, :, :] for uu in range(nu)))
-                Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
-                l_ref[k] = jnp.stack([jnp.stack(
-                    [L[i][j] if j <= i else jnp.zeros((LANES,), dt)
-                     for j in range(nu)]) for i in range(nu)])
-                d_ref[k] = jnp.stack(dinv)
-                k_ref[k] = jnp.stack(Kk)
-                return Pn
-            P0 = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES), dt)
-            jax.lax.fori_loop(0, H, bwd, P0, unroll=False)
+                Pb = Pb + px_flat.reshape(nx, nx, LANES)
+            rk_flat = jax.lax.dot_general(
+                gg_ref[:], wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            Rk = rk_flat.reshape(nu, nu, LANES) + rmatf_ref[:][:, :, None]
+            BtP = sum(Bk[i][:, None, :] * Pb[i][None, :, :]
+                      for i in range(nx))
+            Mk = Rk + sum(BtP[:, xx, :][:, None, :] * Bk[xx][None, :, :]
+                          for xx in range(nx))
+            L, dinv = _chol_rows(Mk, nu)
+            BtPA = sum(BtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+                       for xx in range(nx))
+            Kk = _subst_rows(L, dinv, [BtPA[i] for i in range(nu)], nu)
+            AtP = sum(Ak[i][:, None, :] * Pb[i][None, :, :]
+                      for i in range(nx))
+            Pn = (qmat_ref[:][:, :, None]
+                  + sum(AtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+                        for xx in range(nx))
+                  - sum(jnp.stack(Kk)[uu][:, None, :]
+                        * BtPA[uu][None, :, :] for uu in range(nu)))
+            Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
+            return L, dinv, Kk, Pn
 
-        def vector_pass(rc_of_k, rcx_of_k, du_out, dz_out, ds_out,
-                        dzx_out, dsx_out):
-            """Affine-LQR solve for rhs built from rc_of_k(k) (the
-            (m, LANES) complementarity rhs at knot k) and, when state
-            rows exist, rcx_of_k(k) ((mc, LANES)); writes du/dz/ds
-            (+ dzx/dsx) and returns the per-lane steplen ratio mins
-            (ratio_s, ratio_z) over ALL row sets."""
+        def vector_bwd(rc_of_k, rcx_of_k):
+            """Backward half of the affine-LQR solve against the STORED
+            factorization (corrector pass; the predictor's backward half
+            is fused into the residual+factor sweep)."""
             def bwd(kk, sv):
                 k = H - 1 - kk
                 if mc:
@@ -767,18 +758,23 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx, LANES), dt),
                               unroll=False)
 
-            def ratio(v, dv, cur, mk):
-                neg = (dv < 0) & (mk > 0)
-                r = jnp.where(neg,
-                              -v / jnp.where(neg, dv, -jnp.ones_like(dv)),
-                              jnp.inf)
-                return jnp.minimum(cur, jnp.min(r, axis=0))
+        def ratio(v, dv, cur, mk):
+            neg = (dv < 0) & (mk > 0)
+            r = jnp.where(neg,
+                          -v / jnp.where(neg, dv, -jnp.ones_like(dv)),
+                          jnp.inf)
+            return jnp.minimum(cur, jnp.min(r, axis=0))
 
+        def vector_fwd(rc_of_k, rcx_of_k):
+            """Forward half of the affine-LQR solve: du from the gains +
+            kff_ref, step components into the (dua, dza, dsa) scratch,
+            returning the per-lane steplen ratio mins over all row
+            sets."""
             def fwd(k, carry):
                 dx, rs, rz_ = carry
                 du = (-jnp.sum(k_ref[k] * dx[None, :, :], axis=1)
                       - kff_ref[k])
-                du_out[k] = du
+                dua_ref[k] = du
                 gduk = jax.lax.dot_general(
                     g_ref[:], du, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dt)
@@ -786,8 +782,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 s_safe = jnp.maximum(s_ref[k], min_slack)
                 dsk = -rz_ref[k] - mask_ref[k] * gduk
                 dzk = (rck - z_ref[k] * dsk) / s_safe
-                ds_out[k] = dsk
-                dz_out[k] = dzk
+                dsa_ref[k] = dsk
+                dza_ref[k] = dzk
                 rs = ratio(s_ref[k], dsk, rs, mask_ref[k])
                 rz_ = ratio(z_ref[k], dzk, rz_, mask_ref[k])
                 dxn = (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :], axis=1)
@@ -798,8 +794,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     sx_safe = jnp.maximum(sx_ref[k], min_slack)
                     dsxk = -rzx_ref[k] - maskx_ref[k] * cmat_vec(dxn)
                     dzxk = (rcxk - zx_ref[k] * dsxk) / sx_safe
-                    dsx_out[k] = dsxk
-                    dzx_out[k] = dzxk
+                    dsxa_ref[k] = dsxk
+                    dzxa_ref[k] = dzxk
                     rs = ratio(sx_ref[k], dsxk, rs, maskx_ref[k])
                     rz_ = ratio(zx_ref[k], dzxk, rz_, maskx_ref[k])
                 return (dxn, rs, rz_)
@@ -825,34 +821,132 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
 
             @pl.when(jnp.min(done_f) < 0.5)
             def _work():
-                mu, res = rollout_residuals()
+                # stage 1: forward rollout
+                def fwd(k, x):
+                    xn = (jnp.sum(a_ref[k].astype(dt) * x[None, :, :],
+                                  axis=1)
+                          + jnp.sum(b_ref[k].astype(dt)
+                                    * u_ref[k][None, :, :], axis=1))
+                    x_ref[k] = xn
+                    return xn
+                jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
+
+                # stage 2: ONE fused backward sweep = residuals/costates
+                # + Riccati factor + predictor backward half.  All three
+                # recursions (costate lam, cost-to-go P, value gradient
+                # sv) ride one loop; A_k/B_k load once per knot instead
+                # of three times, and the factor's (L, dinv, K) feed the
+                # predictor solve from registers.
+                def fused(kk, carry):
+                    lam, Pb, sv, rx2, rz2, sz = carry
+                    k = H - 1 - kk
+                    Ak = a_ref[k].astype(dt)
+                    Bk = b_ref[k].astype(dt)
+                    mk = mask_ref[k]
+                    zk = z_ref[k]
+                    sk = s_ref[k]
+                    # --- residuals (gradients at x_{k+1} / u_k) ---
+                    qx = jnp.sum(qmat_ref[:][:, :, None]
+                                 * x_ref[k][None, :, :], axis=1)
+                    lam_k = qx + qlin_ref[k] + lam
+                    if mc:
+                        mxk = maskx_ref[k]
+                        zxk = zx_ref[k]
+                        sxk = sx_ref[k]
+                        lam_k = lam_k + cmat_t_vec(mxk * zxk)
+                        rzxk = mxk * cmat_vec(x_ref[k]) + sxk - cx_ref[k]
+                        rzx_ref[k] = rzxk
+                        wxk = mxk * jnp.clip(
+                            jnp.maximum(zxk, min_slack)
+                            / jnp.maximum(sxk, min_slack), 0.0, w_clip)
+                        wx_ref[k] = wxk
+                        rz2 = rz2 + jnp.sum((rzxk * mxk) ** 2, axis=0)
+                        sz = sz + jnp.sum(sxk * zxk * mxk, axis=0)
+                    else:
+                        wxk = None
+                    bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
+                    gt_zm = jax.lax.dot_general(
+                        g_ref[:], mk * zk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(dt)
+                    ru = jnp.sum(rmatr_ref[:][:, :, None]
+                                 * u_ref[k][None, :, :], axis=1)
+                    rxk = ru + bt_lam + gt_zm
+                    rx_ref[k] = rxk
+                    guk = jax.lax.dot_general(
+                        g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(dt)
+                    rzk = mk * guk + sk - h_ref[k]
+                    rz_ref[k] = rzk
+                    wk = mk * jnp.clip(
+                        jnp.maximum(zk, min_slack)
+                        / jnp.maximum(sk, min_slack), 0.0, w_clip)
+                    w_ref[k] = wk
+                    rx2 = rx2 + jnp.sum(rxk * rxk, axis=0)
+                    rz2 = rz2 + jnp.sum((rzk * mk) ** 2, axis=0)
+                    sz = sz + jnp.sum(sk * zk * mk, axis=0)
+                    lam_new = jnp.sum(Ak * lam_k[:, None, :], axis=0)
+                    # --- factor (consumes wk/wxk in registers) ---
+                    L, dinv, Kk, Pn = knot_factor(Ak, Bk, Pb, wk, wxk)
+                    l_ref[k] = jnp.stack([jnp.stack(
+                        [L[i][j] if j <= i else jnp.zeros((LANES,), dt)
+                         for j in range(nu)]) for i in range(nu)])
+                    d_ref[k] = jnp.stack(dinv)
+                    Kk_v = jnp.stack(Kk)
+                    k_ref[k] = Kk_v
+                    # --- predictor backward half (rc = -s z), against
+                    # the factor still in registers ---
+                    if mc:
+                        sx_safe = jnp.maximum(sxk, min_slack)
+                        vmxk = mxk * (wxk * rzxk
+                                      + (-sxk * zxk) / sx_safe)
+                        sv = sv + cmat_t_vec(vmxk)
+                    s_safe = jnp.maximum(sk, min_slack)
+                    vmk = mk * (wk * rzk + (-sk * zk) / s_safe)
+                    gt_vm = jax.lax.dot_general(
+                        g_ref[:], vmk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(dt)
+                    rhs_k = -(rxk + gt_vm)
+                    g_u = -rhs_k + jnp.sum(Bk * sv[:, None, :], axis=0)
+                    kff = _subst_rows(L, dinv, [g_u[i] for i in range(nu)],
+                                      nu)
+                    kff_ref[k] = jnp.stack(kff)
+                    sv_new = (jnp.sum(Ak * sv[:, None, :], axis=0)
+                              - jnp.sum(Kk_v * g_u[:, None, :], axis=0))
+                    return (lam_new, Pn, sv_new, rx2, rz2, sz)
+                lam0 = jnp.zeros((nx, LANES), dt)
+                P0 = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES),
+                                                         dt)
+                sv0 = jnp.zeros((nx, LANES), dt)
+                _, _, _, rx2, rz2, sz = jax.lax.fori_loop(
+                    0, H, fused,
+                    (lam0, P0, sv0, 0.0 * fone, 0.0 * fone, 0.0 * fone),
+                    unroll=False)
+                mu = sz / m_eff
+                res = jnp.maximum(jnp.sqrt(rx2) / qnorm,
+                                  jnp.sqrt(rz2) / hnorm)
                 mures_ref[0] = mu
                 mures_ref[1] = res
                 now_in = (res < reltol) & (mu < abstol)
                 frozen = done | now_in
 
-                factor()
-
-                # predictor: rc = -s z  =>  rc/s_safe = -z (s>=min_slack)
-                rs, rzr = vector_pass(
+                # stage 3: predictor forward half
+                rs, rzr = vector_fwd(
                     lambda k: -s_ref[k] * z_ref[k],
-                    (lambda k: -sx_ref[k] * zx_ref[k]) if mc else None,
-                    dua_ref, dza_ref, dsa_ref,
-                    dzxa_ref if mc else None, dsxa_ref if mc else None)
+                    (lambda k: -sx_ref[k] * zx_ref[k]) if mc else None)
                 a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
 
-                def acc_mu(k, acc):
-                    acc = acc + jnp.sum(
-                        (s_ref[k] + a_a[None, :] * dsa_ref[k])
-                        * (z_ref[k] + a_a[None, :] * dza_ref[k])
-                        * mask_ref[k], axis=0)
-                    if mc:
-                        acc = acc + jnp.sum(
-                            (sx_ref[k] + a_a[None, :] * dsxa_ref[k])
-                            * (zx_ref[k] + a_a[None, :] * dzxa_ref[k])
-                            * maskx_ref[k], axis=0)
-                    return acc
-                mu_aff = jax.lax.fori_loop(0, H, acc_mu, 0.0 * fone) / m_eff
+                # stage 4: mu_aff as a whole-array reduction (no loop)
+                ab = a_a[None, None, :]
+                mu_aff = jnp.sum(
+                    (s_ref[:] + ab * dsa_ref[:])
+                    * (z_ref[:] + ab * dza_ref[:]) * mask_ref[:],
+                    axis=(0, 1))
+                if mc:
+                    mu_aff = mu_aff + jnp.sum(
+                        (sx_ref[:] + ab * dsxa_ref[:])
+                        * (zx_ref[:] + ab * dzxa_ref[:]) * maskx_ref[:],
+                        axis=(0, 1))
+                mu_aff = mu_aff / m_eff
                 sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
                                  0.0, 1.0) ** sigma_pow
                 sig_mu = sigma * mu
@@ -864,27 +958,26 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 def rcx_corr(k):
                     return -(sx_ref[k] * zx_ref[k]
                              + dsxa_ref[k] * dzxa_ref[k] - sig_mu[None, :])
-                # corrector overwrites the predictor direction scratch
-                rs, rzr = vector_pass(rc_corr, rcx_corr if mc else None,
-                                      dua_ref, dza_ref, dsa_ref,
-                                      dzxa_ref if mc else None,
-                                      dsxa_ref if mc else None)
+                # stages 5+6: corrector solve (overwrites the predictor
+                # direction scratch; rc_corr reads the predictor's
+                # dsa/dza at knot k before the fwd pass overwrites them)
+                vector_bwd(rc_corr, rcx_corr if mc else None)
+                rs, rzr = vector_fwd(rc_corr, rcx_corr if mc else None)
                 a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
                 a = jnp.where(frozen, 0.0, a)
 
-                def upd(k, _):
-                    u_ref[k] = u_ref[k] + a[None, :] * dua_ref[k]
-                    z_ref[k] = jnp.maximum(
-                        z_ref[k] + a[None, :] * dza_ref[k], min_slack)
-                    s_ref[k] = jnp.maximum(
-                        s_ref[k] + a[None, :] * dsa_ref[k], min_slack)
-                    if mc:
-                        zx_ref[k] = jnp.maximum(
-                            zx_ref[k] + a[None, :] * dzxa_ref[k], min_slack)
-                        sx_ref[k] = jnp.maximum(
-                            sx_ref[k] + a[None, :] * dsxa_ref[k], min_slack)
-                    return 0
-                jax.lax.fori_loop(0, H, upd, 0)
+                # stage 7: whole-array step update (no loop)
+                av = a[None, None, :]
+                u_ref[:] = u_ref[:] + av * dua_ref[:]
+                z_ref[:] = jnp.maximum(z_ref[:] + av * dza_ref[:],
+                                       min_slack)
+                s_ref[:] = jnp.maximum(s_ref[:] + av * dsa_ref[:],
+                                       min_slack)
+                if mc:
+                    zx_ref[:] = jnp.maximum(zx_ref[:] + av * dzxa_ref[:],
+                                            min_slack)
+                    sx_ref[:] = jnp.maximum(sx_ref[:] + av * dsxa_ref[:],
+                                            min_slack)
 
             mu = mures_ref[0]
             res = mures_ref[1]
@@ -914,28 +1007,34 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
 
 
 def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-              wu, wz, ws, wv, xrows, interpret):
-    """xrows: None or (cmat (mc, nx), ccg (nx*nx, mc), cx (H, mc, Bp),
+              warm3, xrows, interpret):
+    """warm3: None (cold call — the kernel omits the streams) or
+    (wu (H, nu, Bp), wz (H, m, Bp), ws (H, m, Bp), wv (1, Bp)).
+    xrows: None or (cmat (mc, nx), ccg (nx*nx, mc), cx (H, mc, Bp),
     maskx (H, mc, Bp)) state-row data."""
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
     mc = 0 if xrows is None else xrows[0].shape[0]
+    has_warm = warm3 is not None
     dt = x0.dtype
     grid = (Bp // LANES,)
     kern = _ipm_kernel(H, nx, nu, m, mc, int(cfg.iters), float(cfg.reltol),
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
-                       float(cfg.min_slack), float(cfg.warm_floor))
+                       float(cfg.min_slack), float(cfg.warm_floor),
+                       has_warm)
     in_specs = [_cspec(G.shape), _cspec(GG.shape), _cspec(rmatf.shape),
                 _cspec(rmatr.shape), _cspec(qmat.shape),
                 _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
                 _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
-                _vspec((H, m, LANES)), _vspec((nx, LANES)),
-                _vspec((H, nu, LANES)), _vspec((H, m, LANES)),
-                _vspec((H, m, LANES)), _vspec((1, LANES))]
-    args = [G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-            wu, wz, ws, wv]
+                _vspec((H, m, LANES)), _vspec((nx, LANES))]
+    args = [G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0]
+    if has_warm:
+        wu, wz, ws, wv = warm3
+        in_specs += [_vspec((H, nu, LANES)), _vspec((H, m, LANES)),
+                     _vspec((H, m, LANES)), _vspec((1, LANES))]
+        args += [wu, wz, ws, wv]
     out_specs = [_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
                  _vspec((H, m, LANES)), _vspec((H, m, LANES)),
                  _vspec((8, LANES))]
@@ -1053,18 +1152,13 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
         xrows = None
 
     if warm is not None:
-        wu = to_bl(warm.u)
-        wz = to_bl(warm.z)
-        ws = to_bl(warm.s)
-        wv = to_bl(warm.valid[..., None, None].astype(dt))[:, 0, :]  # (1,Bp)
+        warm3 = (to_bl(warm.u), to_bl(warm.z), to_bl(warm.s),
+                 to_bl(warm.valid[..., None, None].astype(dt))[:, 0, :])
     else:
-        wu = jnp.zeros((Hh, nu, Bp), dt)
-        wz = jnp.zeros((Hh, m, Bp), dt)
-        ws = jnp.zeros((Hh, m, Bp), dt)
-        wv = jnp.zeros((1, Bp), dt)
+        warm3 = None       # cold call: the kernel omits the streams
 
     outs = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A_l, B_l, q_l, mask,
-                     h_l, x0_l, wu, wz, ws, wv, xrows, interpret)
+                     h_l, x0_l, warm3, xrows, interpret)
     if has_x:
         u, x, z, s, stat, zx_o, sx_o = outs
     else:
