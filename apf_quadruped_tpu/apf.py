@@ -190,6 +190,10 @@ def navigate(cfg: ApfConfig, state: ApfState, feet_xy, com_xy,
 
     f_step = f_att + (f_rep if cfg.rep_field_in_step else 0.0)
     step_targets = feet_xy + cfg.step_gain * f_step
+    if cfg.step_reach > 0.0:
+        # per-cycle foot step-length limit (see ApfConfig.step_reach)
+        step_targets = feet_xy + jnp.clip(step_targets - feet_xy,
+                                          -cfg.step_reach, cfg.step_reach)
 
     com_raw = jnp.mean(step_targets, axis=-2)           # main.cpp:1409
     d = com_raw - com_xy

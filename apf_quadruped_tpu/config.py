@@ -162,6 +162,16 @@ class ApfConfig:
     rob_floor: float = 0.01        # 1/h > 0.01 gate on the margin integral (main.cpp:1539)
     min_exit: bool = False         # #define MIN_EXIT 0 (main.cpp:63)
     rep_field_in_step: bool = False  # #define REP_FIELD 0 (main.cpp:62)
+    # per-cycle FOOT step-length limit (metres; 0 = off).  The reference
+    # saturates only the CoM step (saturate_x/ystep, main.cpp:2767-2789)
+    # because TOWR's EndeffectorRom ties footholds to the jointly-
+    # OPTIMIZED base path; our convex MPC keeps the base near the
+    # (saturated) APF CoM goal, so a large RoM box (hyq max_dev y=0.25)
+    # otherwise lets the attractive field command footholds that outrun
+    # the base by the full box each cycle — permanent rear-loading that
+    # topples heavy robots.  DogBot's 0.15 box never exposed this; the
+    # parity default stays off.
+    step_reach: float = 0.0
 
 
 def apf_fast() -> "ApfConfig":

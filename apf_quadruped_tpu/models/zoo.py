@@ -172,7 +172,16 @@ def anymal_robot_config():
 
 def hyq_robot_config():
     """HyQ closed-loop RobotConfig (SRB constants: hyq_model.h); same
-    representative-chain construction as anymal_robot_config."""
+    representative-chain construction as anymal_robot_config.
+
+    Leg segments are 0.35/0.35 m (the real HyQ's upper/lower leg
+    lengths).  This matters beyond fidelity: at the 0.58 m towr stance
+    the knee's horizontal lever to the foot is 0.20 m, so the 150 Nm
+    knee delivers ~750 N of leg force — with 0.38 m segments the lever
+    grows to 0.25 m and the two-leg diagonal-stance loads of a trotting
+    83 kg robot (~600 N/leg) saturate the knee, which was measured to
+    topple the closed loop (the MpcConfig.fz_max=500 cap in
+    engine_config_for keeps the planner inside the same envelope)."""
     from ..config import RobotConfig
 
     m = hyq()
@@ -186,7 +195,7 @@ def hyq_robot_config():
         stance_x=0.29, stance_y=0.31, stance_z=-0.58,
         max_dev=tuple(m.max_dev), com_height=0.54,
         hip_offset_side=0.12, hip_offset=0.31, leg_offset_side=0.29,
-        upper_leg_len=0.38, lower_leg_len=0.38,
+        upper_leg_len=0.35, lower_leg_len=0.35,
         foot_radius=0.02, foot_y_offset=0.0,
         tau_max=150.0, qd_max=12.0,
         q_min_leg=qlo, q_max_leg=qhi,
@@ -214,9 +223,35 @@ def engine_config_for(name: str):
     robot's force distribution).  Measured flat-ground steady state:
     DogBot ~0.5, anymal/hyq ~0.3 — so the heavier robots get a 0.22
     threshold that preserves the reference semantics (trigger on genuine
-    margin loss, not on nominal walking)."""
-    from ..config import ApfConfig, EngineConfig
+    margin loss, not on nominal walking).
 
+    HyQ additionally re-scales the DogBot-tuned control/sim constants
+    to its 83 kg / 150 Nm envelope — each override was ABLATED (12-cycle
+    f64 closed loop; removing any single one topples the robot):
+      * apf.step_reach 0.08: per-cycle foot step limit (see ApfConfig —
+        the 0.25 m towr RoM box otherwise lets footholds outrun the
+        0.06 m/cycle CoM step, permanently rear-loading the robot);
+      * mpc.fz_max 500: keeps planned leg forces inside the knee-torque
+        envelope (see hyq_robot_config);
+      * wbc.kp_swing 100 / kd_swing 15: the DogBot gains (300/20)
+        command swing accelerations whose torque exceeds 150 Nm on the
+        3.5 + 2.0 kg legs, making the soft-tracking + hard-torque QP
+        near-infeasible at swing onset (measured gap ~1e7);
+      * sim ground/tangent springs x4: the DogBot-scaled penalty
+        stiffness (20 kN/m) lets an 83 kg robot sink 1 cm per foot —
+        deep-penetration contact dynamics the WBC cannot track."""
+    from ..config import (ApfConfig, EngineConfig, MpcConfig, SimConfig,
+                          WbcConfig)
+
+    robot = robot_config_for(ZOO[name]())
+    if name == "hyq":
+        return EngineConfig(
+            robot=robot,
+            apf=ApfConfig(crawl_threshold=0.22, step_reach=0.08),
+            mpc=MpcConfig(fz_max=500.0),
+            wbc=WbcConfig(kp_swing=100.0, kd_swing=15.0),
+            sim=SimConfig(ground_kp=80000.0, ground_kd=800.0,
+                          tangent_kp=80000.0, tangent_kd=400.0))
     apf = ApfConfig(crawl_threshold=0.22) if name in _FULL_CONFIGS \
         else ApfConfig()
-    return EngineConfig(robot=robot_config_for(ZOO[name]()), apf=apf)
+    return EngineConfig(robot=robot, apf=apf)

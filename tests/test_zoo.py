@@ -125,19 +125,21 @@ def test_anymal_walks_closed_loop():
 
 
 @pytest.mark.slow
-def test_hyq_stands_closed_loop():
-    """HyQ holds its stance through the full WBC + sim stack (2 cycles,
-    zero target displacement): heavy-robot sanity for the parametrized
-    dynamics."""
+def test_hyq_walks_closed_loop():
+    """HyQ trots end-to-end like anymal: forward progress, no fall,
+    healthy WBC convergence at its tuned engine config (the per-robot
+    overrides in zoo.engine_config_for, each one ablated-necessary)."""
     from apf_quadruped_tpu.runtime import loop
     from apf_quadruped_tpu.sim import disturbance, terrain
 
     cfg = zoo.engine_config_for("hyq")
     st = loop.init(cfg, dtype=jnp.float64)
     terr = terrain.flat(cfg.sim, dtype=jnp.float64)
-    st, m = loop.run(cfg, st, terr, jnp.asarray([0.0, 0.0]),
-                     disturbance.empty(jnp.float64), n_cycles=2)
+    st, m = loop.run(cfg, st, terr, jnp.asarray([0.0, 1.5]),
+                     disturbance.empty(jnp.float64), n_cycles=8)
     com = np.asarray(m.com)
+    assert com[-1, 1] > 0.30, f"no forward progress: {com[:, 1]}"
     assert np.all(com[:, 2] > 0.45), f"fell: z={com[:, 2]}"
-    assert np.abs(com[-1, 0:2]).max() < 0.1
     assert np.asarray(m.qp_converged).mean() > 0.9
+    assert np.asarray(m.track_err).max() < 0.05
+    assert float(st.sim.R_wb[2, 2]) > 0.99
