@@ -52,9 +52,11 @@ from .riccati import StageQP, StageSolution, WarmStart
 LANES = 128
 
 # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit trips at
-# batch >= 256 once double-buffered blocks are counted.  96 MiB leaves
-# headroom for XLA's own scratch while admitting B=1024 grids.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+# batch >= 256 once double-buffered blocks are counted.  110 MiB leaves
+# headroom for XLA's own scratch while admitting the resident kernel's
+# sub=8 lane tiles with double-buffered input streams (~45 MB scratch +
+# 2 x 32 MB streams at H=20).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
 def _chol_rows(M, n):
@@ -525,7 +527,8 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
 # ---------------------------------------------------------------------------
 
 def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
-                w_clip, min_slack, warm_floor, has_warm):
+                w_clip, min_slack, warm_floor, has_warm, sub,
+                g_static=None, c_static=None):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
     sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
@@ -572,32 +575,81 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             wx_ref, rzx_ref, dzxa_ref, dsxa_ref = refs[i:i + 4]
 
         dt = x0_ref.dtype
-        fone = jnp.ones((LANES,), dt)
+        # Lane tile `lt`: (LANES,) for sub=1 (the flat layout: matrix
+        # row dims sit on the vreg sublanes), or (sub, LANES) for sub>1,
+        # which STACKS `sub` 128-LANE BATCH BLOCKS ON THE SUBLANE AXIS
+        # (PERF.md lever 2): every per-lane "scalar" in the Cholesky /
+        # substitution recurrences — a 1/8-occupancy (LANES,) value in
+        # the flat layout — becomes a (sub, LANES) tile at sub/8
+        # occupancy, and at sub=8 EVERY value in the kernel is a full
+        # (8, 128) vreg.  The cost is that constant-matrix contractions
+        # can no longer use the MXU (the contraction dim is not on the
+        # sublanes); with a STATIC G (g_static — the friction pyramid is
+        # config data) they become sparse scalar-immediate FMAs instead.
+        lt = (LANES,) if sub == 1 else (sub, LANES)
+        fone = jnp.ones(lt, dt)
         if has_warm:
-            valid = wv_ref[0] > 0.5               # (LANES,) warm lanes
+            valid = wv_ref[0] > 0.5               # lt warm lanes
+
+        def _static_mul(Mnp, v):
+            """Static (r, c) @ v ((c,) + lt) as sparse scalar-immediate
+            broadcast-FMAs — full-vreg ops, zero entries skipped at
+            trace time, no MXU staging/relayouts."""
+            r, c = Mnp.shape
+            outs = []
+            for i in range(r):
+                acc = None
+                for j in range(c):
+                    g = float(Mnp[i][j] if isinstance(Mnp, tuple)
+                              else Mnp[i, j])
+                    if g == 0.0:
+                        continue
+                    t = g * v[j] if g != 1.0 else v[j]
+                    acc = t if acc is None else acc + t
+                outs.append(acc if acc is not None
+                            else jnp.zeros(lt, dt))
+            return jnp.stack(outs)
+
+        def const_mul(mat_ref, v, transpose=False, static=None):
+            """(r, c) constant @ v ((c,) + lt) -> (r,) + lt."""
+            if static is not None and sub > 1:
+                Mnp = np.asarray(static)
+                return _static_mul(Mnp.T if transpose else Mnp, v)
+            mat = mat_ref[:]
+            dims = ((((0,) if transpose else (1,)), (0,)), ((), ()))
+            return jax.lax.dot_general(
+                mat, v, dims,
+                preferred_element_type=jnp.float32).astype(dt)
+
+        gg_static = None
+        if g_static is not None:
+            g_np = np.asarray(g_static)
+            gg_static = np.einsum("mi,mj->ijm", g_np,
+                                  g_np).reshape(nu * nu, m)
+        cc_static = None
+        if c_static is not None and mc:
+            c_np = np.asarray(c_static)
+            cc_static = np.einsum("mi,mj->ijm", c_np,
+                                  c_np).reshape(nx * nx, mc)
 
         def cmat_vec(v):
-            """C @ v: (mc, nx) x (nx, L) -> (mc, L) on the MXU."""
-            return jax.lax.dot_general(
-                cmat_ref[:], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
+            """C @ v: (mc, nx) x ((nx,) + lt) -> (mc,) + lt."""
+            return const_mul(cmat_ref, v, static=c_static)
 
         def cmat_t_vec(v):
-            """C' @ v: contract row dim -> (nx, L)."""
-            return jax.lax.dot_general(
-                cmat_ref[:], v, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
+            """C' @ v: contract row dim -> (nx,) + lt."""
+            return const_mul(cmat_ref, v, transpose=True, static=c_static)
 
         # ---- init (whole-array: no per-knot loops) --------------------
         if has_warm:
-            vb = valid[None, None, :]
+            vb = valid[None, None]
             u_ref[:] = jnp.where(vb, wu_ref[:],
-                                 jnp.zeros((H, nu, LANES), dt))
+                                 jnp.zeros((H, nu) + lt, dt))
         else:
-            u_ref[:] = jnp.zeros((H, nu, LANES), dt)
+            u_ref[:] = jnp.zeros((H, nu) + lt, dt)
         h_all = h_ref[:]
         shift = jnp.maximum(0.0, jnp.max(-h_all, axis=(0, 1))) + 1.0
-        s_cold = h_all + shift[None, None, :]
+        s_cold = h_all + shift[None, None]
         z_cold = jnp.maximum(-h_all, 0.0) + 1.0
         if has_warm:
             s_ref[:] = jnp.where(vb, jnp.maximum(ws_ref[:], warm_floor),
@@ -612,13 +664,13 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             # state-row init needs the ZERO-control rollout (scan parity:
             # r0x is evaluated at u = 0 even for warm lanes)
             def fwd0(k, x):
-                xn = jnp.sum(a_ref[k].astype(dt) * x[None, :, :], axis=1)
+                xn = jnp.sum(a_ref[k].astype(dt) * x[None], axis=1)
                 rzx_ref[k] = maskx_ref[k] * cmat_vec(xn) - cx_ref[k]
                 return xn
             jax.lax.fori_loop(0, H, fwd0, x0_ref[:], unroll=False)
             r0x = rzx_ref[:]
             shiftx = jnp.maximum(0.0, jnp.max(r0x, axis=(0, 1))) + 1.0
-            sx_ref[:] = -r0x + shiftx[None, None, :]
+            sx_ref[:] = -r0x + shiftx[None, None]
             zx_ref[:] = jnp.maximum(r0x, 0.0) + 1.0
 
         qn2 = jnp.sum(qlin_ref[:] * qlin_ref[:], axis=(0, 1))
@@ -638,8 +690,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             def fwd(k, x):
                 Ak = a_ref[k].astype(dt)
                 Bk = b_ref[k].astype(dt)
-                xn = (jnp.sum(Ak * x[None, :, :], axis=1)
-                      + jnp.sum(Bk * u_ref[k][None, :, :], axis=1))
+                xn = (jnp.sum(Ak * x[None], axis=1)
+                      + jnp.sum(Bk * u_ref[k][None], axis=1))
                 x_ref[k] = xn
                 return xn
             jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
@@ -652,8 +704,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 mk = mask_ref[k]
                 zk = z_ref[k]
                 sk = s_ref[k]
-                qx = jnp.sum(qmat_ref[:][:, :, None] * x_ref[k][None, :, :],
-                             axis=1)
+                qx = jnp.sum(qmat_ref[:] * x_ref[k][None], axis=1)
                 lam_k = qx + qlin_ref[k] + lam
                 if mc:
                     mxk = maskx_ref[k]
@@ -667,17 +718,12 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                         / jnp.maximum(sxk, min_slack), 0.0, w_clip)
                     rz2 = rz2 + jnp.sum((rzxk * mxk) ** 2, axis=0)
                     sz = sz + jnp.sum(sxk * zxk * mxk, axis=0)
-                bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
-                gt_zm = jax.lax.dot_general(
-                    g_ref[:], mk * zk, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt)
-                ru = jnp.sum(rmatr_ref[:][:, :, None] * u_ref[k][None, :, :],
-                             axis=1)
+                bt_lam = jnp.sum(Bk * lam_k[:, None], axis=0)
+                gt_zm = const_mul(g_ref, mk * zk, transpose=True, static=g_static)
+                ru = jnp.sum(rmatr_ref[:] * u_ref[k][None], axis=1)
                 rxk = ru + bt_lam + gt_zm
                 rx_ref[k] = rxk
-                guk = jax.lax.dot_general(
-                    g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt)
+                guk = const_mul(g_ref, u_ref[k], static=g_static)
                 gu_ref[k] = guk
                 rzk = mk * guk + sk - h_ref[k]
                 rz_ref[k] = rzk
@@ -687,9 +733,9 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 rx2 = rx2 + jnp.sum(rxk * rxk, axis=0)
                 rz2 = rz2 + jnp.sum((rzk * mk) ** 2, axis=0)
                 sz = sz + jnp.sum(sk * zk * mk, axis=0)
-                return (jnp.sum(Ak * lam_k[:, None, :], axis=0),
+                return (jnp.sum(Ak * lam_k[:, None], axis=0),
                         rx2, rz2, sz)
-            lam0 = jnp.zeros((nx, LANES), dt)
+            lam0 = jnp.zeros((nx,) + lt, dt)
             _, rx2, rz2, sz = jax.lax.fori_loop(
                 0, H, bwd, (lam0, 0.0 * fone, 0.0 * fone, 0.0 * fone),
                 unroll=False)
@@ -703,29 +749,25 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             values; returns (L rows, dinv, Kk list, Pn)."""
             if mc:
                 # state-row barrier: Pb += C' diag(wx) C = CC @ wx
-                px_flat = jax.lax.dot_general(
-                    ccg_ref[:], wxk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt)
-                Pb = Pb + px_flat.reshape(nx, nx, LANES)
-            rk_flat = jax.lax.dot_general(
-                gg_ref[:], wk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dt)
-            Rk = rk_flat.reshape(nu, nu, LANES) + rmatf_ref[:][:, :, None]
-            BtP = sum(Bk[i][:, None, :] * Pb[i][None, :, :]
+                px_flat = const_mul(ccg_ref, wxk, static=cc_static)
+                Pb = Pb + px_flat.reshape((nx, nx) + lt)
+            rk_flat = const_mul(gg_ref, wk, static=gg_static)
+            Rk = rk_flat.reshape((nu, nu) + lt) + rmatf_ref[:]
+            BtP = sum(Bk[i][:, None] * Pb[i][None]
                       for i in range(nx))
-            Mk = Rk + sum(BtP[:, xx, :][:, None, :] * Bk[xx][None, :, :]
+            Mk = Rk + sum(BtP[:, xx][:, None] * Bk[xx][None]
                           for xx in range(nx))
             L, dinv = _chol_rows(Mk, nu)
-            BtPA = sum(BtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+            BtPA = sum(BtP[:, xx][:, None] * Ak[xx][None]
                        for xx in range(nx))
             Kk = _subst_rows(L, dinv, [BtPA[i] for i in range(nu)], nu)
-            AtP = sum(Ak[i][:, None, :] * Pb[i][None, :, :]
+            AtP = sum(Ak[i][:, None] * Pb[i][None]
                       for i in range(nx))
-            Pn = (qmat_ref[:][:, :, None]
-                  + sum(AtP[:, xx, :][:, None, :] * Ak[xx][None, :, :]
+            Pn = (qmat_ref[:]
+                  + sum(AtP[:, xx][:, None] * Ak[xx][None]
                         for xx in range(nx))
-                  - sum(jnp.stack(Kk)[uu][:, None, :]
-                        * BtPA[uu][None, :, :] for uu in range(nu)))
+                  - sum(jnp.stack(Kk)[uu][:, None]
+                        * BtPA[uu][None] for uu in range(nu)))
             Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
             return L, dinv, Kk, Pn
 
@@ -744,18 +786,16 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 rck = rc_of_k(k)
                 s_safe = jnp.maximum(s_ref[k], min_slack)
                 vmk = mask_ref[k] * (w_ref[k] * rz_ref[k] + rck / s_safe)
-                gt_vm = jax.lax.dot_general(
-                    g_ref[:], vmk, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt)
+                gt_vm = const_mul(g_ref, vmk, transpose=True, static=g_static)
                 rhs_k = -(rx_ref[k] + gt_vm)
                 g_u = -rhs_k + jnp.sum(b_ref[k].astype(dt)
-                                       * sv[:, None, :], axis=0)
+                                       * sv[:, None], axis=0)
                 kff = _subst_packed(l_ref[k], d_ref[k], g_u, nu)
                 kff_ref[k] = jnp.stack(kff)
-                return (jnp.sum(a_ref[k].astype(dt) * sv[:, None, :],
+                return (jnp.sum(a_ref[k].astype(dt) * sv[:, None],
                                 axis=0)
-                        - jnp.sum(k_ref[k] * g_u[:, None, :], axis=0))
-            jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx, LANES), dt),
+                        - jnp.sum(k_ref[k] * g_u[:, None], axis=0))
+            jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx,) + lt, dt),
                               unroll=False)
 
         def ratio(v, dv, cur, mk):
@@ -772,12 +812,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             sets."""
             def fwd(k, carry):
                 dx, rs, rz_ = carry
-                du = (-jnp.sum(k_ref[k] * dx[None, :, :], axis=1)
+                du = (-jnp.sum(k_ref[k] * dx[None], axis=1)
                       - kff_ref[k])
                 dua_ref[k] = du
-                gduk = jax.lax.dot_general(
-                    g_ref[:], du, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt)
+                gduk = const_mul(g_ref, du, static=g_static)
                 rck = rc_of_k(k)
                 s_safe = jnp.maximum(s_ref[k], min_slack)
                 dsk = -rz_ref[k] - mask_ref[k] * gduk
@@ -786,8 +824,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 dza_ref[k] = dzk
                 rs = ratio(s_ref[k], dsk, rs, mask_ref[k])
                 rz_ = ratio(z_ref[k], dzk, rz_, mask_ref[k])
-                dxn = (jnp.sum(a_ref[k].astype(dt) * dx[None, :, :], axis=1)
-                       + jnp.sum(b_ref[k].astype(dt) * du[None, :, :],
+                dxn = (jnp.sum(a_ref[k].astype(dt) * dx[None], axis=1)
+                       + jnp.sum(b_ref[k].astype(dt) * du[None],
                                  axis=1))
                 if mc:
                     rcxk = rcx_of_k(k)
@@ -799,8 +837,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     rs = ratio(sx_ref[k], dsxk, rs, maskx_ref[k])
                     rz_ = ratio(zx_ref[k], dzxk, rz_, maskx_ref[k])
                 return (dxn, rs, rz_)
-            dx0 = jnp.zeros((nx, LANES), dt)
-            inf0 = jnp.full((LANES,), jnp.inf, dt)
+            dx0 = jnp.zeros((nx,) + lt, dt)
+            inf0 = jnp.full(lt, jnp.inf, dt)
             _, rs, rz_ = jax.lax.fori_loop(0, H, fwd, (dx0, inf0, inf0),
                                            unroll=False)
             return rs, rz_
@@ -823,10 +861,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             def _work():
                 # stage 1: forward rollout
                 def fwd(k, x):
-                    xn = (jnp.sum(a_ref[k].astype(dt) * x[None, :, :],
+                    xn = (jnp.sum(a_ref[k].astype(dt) * x[None],
                                   axis=1)
                           + jnp.sum(b_ref[k].astype(dt)
-                                    * u_ref[k][None, :, :], axis=1))
+                                    * u_ref[k][None], axis=1))
                     x_ref[k] = xn
                     return xn
                 jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
@@ -846,8 +884,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     zk = z_ref[k]
                     sk = s_ref[k]
                     # --- residuals (gradients at x_{k+1} / u_k) ---
-                    qx = jnp.sum(qmat_ref[:][:, :, None]
-                                 * x_ref[k][None, :, :], axis=1)
+                    qx = jnp.sum(qmat_ref[:] * x_ref[k][None], axis=1)
                     lam_k = qx + qlin_ref[k] + lam
                     if mc:
                         mxk = maskx_ref[k]
@@ -864,17 +901,12 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                         sz = sz + jnp.sum(sxk * zxk * mxk, axis=0)
                     else:
                         wxk = None
-                    bt_lam = jnp.sum(Bk * lam_k[:, None, :], axis=0)
-                    gt_zm = jax.lax.dot_general(
-                        g_ref[:], mk * zk, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(dt)
-                    ru = jnp.sum(rmatr_ref[:][:, :, None]
-                                 * u_ref[k][None, :, :], axis=1)
+                    bt_lam = jnp.sum(Bk * lam_k[:, None], axis=0)
+                    gt_zm = const_mul(g_ref, mk * zk, transpose=True, static=g_static)
+                    ru = jnp.sum(rmatr_ref[:] * u_ref[k][None], axis=1)
                     rxk = ru + bt_lam + gt_zm
                     rx_ref[k] = rxk
-                    guk = jax.lax.dot_general(
-                        g_ref[:], u_ref[k], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(dt)
+                    guk = const_mul(g_ref, u_ref[k], static=g_static)
                     rzk = mk * guk + sk - h_ref[k]
                     rz_ref[k] = rzk
                     wk = mk * jnp.clip(
@@ -884,11 +916,11 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     rx2 = rx2 + jnp.sum(rxk * rxk, axis=0)
                     rz2 = rz2 + jnp.sum((rzk * mk) ** 2, axis=0)
                     sz = sz + jnp.sum(sk * zk * mk, axis=0)
-                    lam_new = jnp.sum(Ak * lam_k[:, None, :], axis=0)
+                    lam_new = jnp.sum(Ak * lam_k[:, None], axis=0)
                     # --- factor (consumes wk/wxk in registers) ---
                     L, dinv, Kk, Pn = knot_factor(Ak, Bk, Pb, wk, wxk)
                     l_ref[k] = jnp.stack([jnp.stack(
-                        [L[i][j] if j <= i else jnp.zeros((LANES,), dt)
+                        [L[i][j] if j <= i else jnp.zeros(lt, dt)
                          for j in range(nu)]) for i in range(nu)])
                     d_ref[k] = jnp.stack(dinv)
                     Kk_v = jnp.stack(Kk)
@@ -902,21 +934,18 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                         sv = sv + cmat_t_vec(vmxk)
                     s_safe = jnp.maximum(sk, min_slack)
                     vmk = mk * (wk * rzk + (-sk * zk) / s_safe)
-                    gt_vm = jax.lax.dot_general(
-                        g_ref[:], vmk, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(dt)
+                    gt_vm = const_mul(g_ref, vmk, transpose=True, static=g_static)
                     rhs_k = -(rxk + gt_vm)
-                    g_u = -rhs_k + jnp.sum(Bk * sv[:, None, :], axis=0)
+                    g_u = -rhs_k + jnp.sum(Bk * sv[:, None], axis=0)
                     kff = _subst_rows(L, dinv, [g_u[i] for i in range(nu)],
                                       nu)
                     kff_ref[k] = jnp.stack(kff)
-                    sv_new = (jnp.sum(Ak * sv[:, None, :], axis=0)
-                              - jnp.sum(Kk_v * g_u[:, None, :], axis=0))
+                    sv_new = (jnp.sum(Ak * sv[:, None], axis=0)
+                              - jnp.sum(Kk_v * g_u[:, None], axis=0))
                     return (lam_new, Pn, sv_new, rx2, rz2, sz)
-                lam0 = jnp.zeros((nx, LANES), dt)
-                P0 = qmat_ref[:][:, :, None] + jnp.zeros((nx, nx, LANES),
-                                                         dt)
-                sv0 = jnp.zeros((nx, LANES), dt)
+                lam0 = jnp.zeros((nx,) + lt, dt)
+                P0 = qmat_ref[:] + jnp.zeros((nx, nx) + lt, dt)
+                sv0 = jnp.zeros((nx,) + lt, dt)
                 _, _, _, rx2, rz2, sz = jax.lax.fori_loop(
                     0, H, fused,
                     (lam0, P0, sv0, 0.0 * fone, 0.0 * fone, 0.0 * fone),
@@ -936,7 +965,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
 
                 # stage 4: mu_aff as a whole-array reduction (no loop)
-                ab = a_a[None, None, :]
+                ab = a_a[None, None]
                 mu_aff = jnp.sum(
                     (s_ref[:] + ab * dsa_ref[:])
                     * (z_ref[:] + ab * dza_ref[:]) * mask_ref[:],
@@ -953,11 +982,11 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
 
                 def rc_corr(k):
                     return -(s_ref[k] * z_ref[k] + dsa_ref[k] * dza_ref[k]
-                             - sig_mu[None, :])
+                             - sig_mu[None])
 
                 def rcx_corr(k):
                     return -(sx_ref[k] * zx_ref[k]
-                             + dsxa_ref[k] * dzxa_ref[k] - sig_mu[None, :])
+                             + dsxa_ref[k] * dzxa_ref[k] - sig_mu[None])
                 # stages 5+6: corrector solve (overwrites the predictor
                 # direction scratch; rc_corr reads the predictor's
                 # dsa/dza at knot k before the fwd pass overwrites them)
@@ -967,7 +996,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 a = jnp.where(frozen, 0.0, a)
 
                 # stage 7: whole-array step update (no loop)
-                av = a[None, None, :]
+                av = a[None, None]
                 u_ref[:] = u_ref[:] + av * dua_ref[:]
                 z_ref[:] = jnp.maximum(z_ref[:] + av * dza_ref[:],
                                        min_slack)
@@ -987,10 +1016,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             done = done | now
             return done.astype(dt), it_conv
 
-        mures_ref[0] = jnp.zeros((LANES,), dt)
-        mures_ref[1] = jnp.full((LANES,), jnp.inf, dt)
-        done0 = jnp.zeros((LANES,), dt)
-        it0 = jnp.full((LANES,), iters, dt)
+        mures_ref[0] = jnp.zeros(lt, dt)
+        mures_ref[1] = jnp.full(lt, jnp.inf, dt)
+        done0 = jnp.zeros(lt, dt)
+        it0 = jnp.full(lt, iters, dt)
         done_f, it_conv = jax.lax.fori_loop(0, iters, body, (done0, it0))
         done = done_f > 0.5
 
@@ -1002,76 +1031,120 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         stat_ref[2] = mu
         stat_ref[3] = res
         for i in range(4, 8):
-            stat_ref[i] = jnp.zeros((LANES,), dt)
+            stat_ref[i] = jnp.zeros(lt, dt)
     return kernel
 
 
+def _vspec_sub(shape):
+    """Block spec whose trailing dims are the (sub, LANES) lane tile.
+
+    The batch axis is laid out (sub, Bp/sub) with the grid stepping the
+    LAST dim: the second-minor block dim always equals the full array
+    dim (legal for any sub), and grid step i covers the sub lane-rows
+    {s * Bp/sub + i*128 + l} — an arbitrary-but-consistent batch
+    grouping, inverted by the output reshape."""
+    nd = len(shape)
+
+    def imap(i):
+        return (0,) * (nd - 1) + (i,)
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+
 def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-              warm3, xrows, interpret):
+              warm3, xrows, interpret, sub, g_static=None, c_static=None):
     """warm3: None (cold call — the kernel omits the streams) or
     (wu (H, nu, Bp), wz (H, m, Bp), ws (H, m, Bp), wv (1, Bp)).
     xrows: None or (cmat (mc, nx), ccg (nx*nx, mc), cx (H, mc, Bp),
-    maskx (H, mc, Bp)) state-row data."""
+    maskx (H, mc, Bp)) state-row data.  sub: batch blocks stacked on the
+    sublane axis per grid step (Bp must divide by sub*LANES; 1 = the
+    flat layout).  g_static/c_static: hashable copies of G/Cx for the
+    sub>1 kernels' trace-time-sparse contractions."""
     H, nx, _, Bp = A.shape
     nu = B.shape[2]
     m = G.shape[0]
     mc = 0 if xrows is None else xrows[0].shape[0]
     has_warm = warm3 is not None
     dt = x0.dtype
-    grid = (Bp // LANES,)
+    nblk = Bp // LANES
+    grid = (nblk // sub,)
     kern = _ipm_kernel(H, nx, nu, m, mc, int(cfg.iters), float(cfg.reltol),
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
                        float(cfg.min_slack), float(cfg.warm_floor),
-                       has_warm)
+                       has_warm, sub, g_static, c_static)
+    lt = (LANES,) if sub == 1 else (sub, LANES)
+
+    def blocked(v):
+        """(.., Bp) -> (..,) + lane layout — a free row-major reshape
+        (see _vspec_sub for the sub>1 batch grouping)."""
+        if sub == 1:
+            return v
+        return v.reshape(v.shape[:-1] + (sub, Bp // sub))
+
+    def vs(shape_rows):
+        """Block spec for a (.., rows) per-lane array."""
+        if sub == 1:
+            return _vspec(shape_rows + (LANES,))
+        return _vspec_sub(shape_rows + (sub, LANES))
+
+    def bconst(mat):
+        """Pre-broadcast a (r, c) constant over the lane tile OUTSIDE
+        the kernel (Mosaic cannot legalize an in-kernel 2D -> 4D
+        broadcast reshape; <= 350 KB of VMEM per constant)."""
+        ix = (Ellipsis,) + (None,) * len(lt)
+        return jnp.broadcast_to(mat[ix], mat.shape + lt)
+
+    rmatf = bconst(rmatf)
+    rmatr = bconst(rmatr)
+    qmat = bconst(qmat)
     in_specs = [_cspec(G.shape), _cspec(GG.shape), _cspec(rmatf.shape),
                 _cspec(rmatr.shape), _cspec(qmat.shape),
-                _vspec((H, nx, nx, LANES)), _vspec((H, nx, nu, LANES)),
-                _vspec((H, nx, LANES)), _vspec((H, m, LANES)),
-                _vspec((H, m, LANES)), _vspec((nx, LANES))]
-    args = [G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0]
+                vs((H, nx, nx)), vs((H, nx, nu)), vs((H, nx)),
+                vs((H, m)), vs((H, m)), vs((nx,))]
+    args = [G, GG, rmatf, rmatr, qmat, blocked(A), blocked(B),
+            blocked(qlin), blocked(mask), blocked(h), blocked(x0)]
     if has_warm:
         wu, wz, ws, wv = warm3
-        in_specs += [_vspec((H, nu, LANES)), _vspec((H, m, LANES)),
-                     _vspec((H, m, LANES)), _vspec((1, LANES))]
-        args += [wu, wz, ws, wv]
-    out_specs = [_vspec((H, nu, LANES)), _vspec((H, nx, LANES)),
-                 _vspec((H, m, LANES)), _vspec((H, m, LANES)),
-                 _vspec((8, LANES))]
-    out_shape = [jax.ShapeDtypeStruct((H, nu, Bp), dt),
-                 jax.ShapeDtypeStruct((H, nx, Bp), dt),
-                 jax.ShapeDtypeStruct((H, m, Bp), dt),
-                 jax.ShapeDtypeStruct((H, m, Bp), dt),
-                 jax.ShapeDtypeStruct((8, Bp), dt)]
+        in_specs += [vs((H, nu)), vs((H, m)), vs((H, m)), vs((1,))]
+        args += [blocked(wu), blocked(wz), blocked(ws), blocked(wv)]
+    out_specs = [vs((H, nu)), vs((H, nx)), vs((H, m)), vs((H, m)),
+                 vs((8,))]
+
+    def oshape(rows):
+        if sub == 1:
+            return jax.ShapeDtypeStruct(rows + (Bp,), dt)
+        return jax.ShapeDtypeStruct(rows + (sub, Bp // sub), dt)
+
+    out_shape = [oshape((H, nu)), oshape((H, nx)), oshape((H, m)),
+                 oshape((H, m)), oshape((8,))]
     if mc:
         cmat, ccg, cx, maskx = xrows
         in_specs += [_cspec(cmat.shape), _cspec(ccg.shape),
-                     _vspec((H, mc, LANES)), _vspec((H, mc, LANES))]
-        args += [cmat, ccg, cx, maskx]
-        out_specs += [_vspec((H, mc, LANES)), _vspec((H, mc, LANES))]
-        out_shape += [jax.ShapeDtypeStruct((H, mc, Bp), dt),
-                      jax.ShapeDtypeStruct((H, mc, Bp), dt)]
+                     vs((H, mc)), vs((H, mc))]
+        args += [cmat, ccg, blocked(cx), blocked(maskx)]
+        out_specs += [vs((H, mc)), vs((H, mc))]
+        out_shape += [oshape((H, mc)), oshape((H, mc))]
     scratch = [
-        pltpu.VMEM((H, nu, nu, LANES), dt),   # l
-        pltpu.VMEM((H, nu, LANES), dt),       # d
-        pltpu.VMEM((H, nu, nx, LANES), dt),   # k
-        pltpu.VMEM((H, nu, LANES), dt),       # rx
-        pltpu.VMEM((H, m, LANES), dt),        # gu
-        pltpu.VMEM((H, m, LANES), dt),        # rz
-        pltpu.VMEM((H, m, LANES), dt),        # w
-        pltpu.VMEM((H, nu, LANES), dt),       # kff
-        pltpu.VMEM((H, m, LANES), dt),        # gdu (unused slot kept small)
-        pltpu.VMEM((H, nu, LANES), dt),       # dua
-        pltpu.VMEM((H, m, LANES), dt),        # dza
-        pltpu.VMEM((H, m, LANES), dt),        # dsa
-        pltpu.VMEM((2, LANES), dt),           # mures (early-exit carry)
+        pltpu.VMEM((H, nu, nu) + lt, dt),   # l
+        pltpu.VMEM((H, nu) + lt, dt),       # d
+        pltpu.VMEM((H, nu, nx) + lt, dt),   # k
+        pltpu.VMEM((H, nu) + lt, dt),       # rx
+        pltpu.VMEM((H, m) + lt, dt),        # gu
+        pltpu.VMEM((H, m) + lt, dt),        # rz
+        pltpu.VMEM((H, m) + lt, dt),        # w
+        pltpu.VMEM((H, nu) + lt, dt),       # kff
+        pltpu.VMEM((H, m) + lt, dt),        # gdu (unused slot)
+        pltpu.VMEM((H, nu) + lt, dt),       # dua
+        pltpu.VMEM((H, m) + lt, dt),        # dza
+        pltpu.VMEM((H, m) + lt, dt),        # dsa
+        pltpu.VMEM((2,) + lt, dt),          # mures (early-exit)
     ]
     if mc:
-        scratch += [pltpu.VMEM((H, mc, LANES), dt),   # wx
-                    pltpu.VMEM((H, mc, LANES), dt),   # rzx
-                    pltpu.VMEM((H, mc, LANES), dt),   # dzxa
-                    pltpu.VMEM((H, mc, LANES), dt)]   # dsxa
-    return pl.pallas_call(
+        scratch += [pltpu.VMEM((H, mc) + lt, dt),   # wx
+                    pltpu.VMEM((H, mc) + lt, dt),   # rzx
+                    pltpu.VMEM((H, mc) + lt, dt),   # dzxa
+                    pltpu.VMEM((H, mc) + lt, dt)]   # dsxa
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -1081,12 +1154,18 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
+    if sub == 1:
+        return list(outs)
+    # back to flat (.., Bp) lane layouts
+    return [v.reshape(v.shape[:-2] + (Bp,)) for v in outs]
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "g_static",
+                                   "c_static"))
 def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
                             interpret: bool | None = None,
-                            warm: WarmStart | None = None) -> StageSolution:
+                            warm: WarmStart | None = None,
+                            g_static=None, c_static=None) -> StageSolution:
     """One-kernel VMEM-resident variant of solve_stage_qp_fused: the whole
     fixed-iteration Mehrotra loop runs inside a single pallas_call, so
     problem data is read from HBM once per 128-lane block and no
@@ -1098,11 +1177,37 @@ def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     with jax.default_matmul_precision("highest"):
-        return _solve_resident_impl(qp, cfg, interpret, warm)
+        return _solve_resident_impl(qp, cfg, interpret, warm, g_static,
+                                    c_static)
+
+
+def _resident_sub(B: int) -> int:
+    """Batch blocks stacked on the sublane axis per grid step (the
+    PERF.md "lever 2" sublane-packing EXPERIMENT — measured and
+    RETIRED; default 1 = the flat layout).
+
+    Measured on v5e (B=1024, H=20, cold, conv=1.00): flat 116.2k
+    solves/s vs sub=2 57.6k, sub=4 80.9k, sub=8 103.7k (rank-3 MXU
+    contractions) / 101.0k (static-G scalar-FMA contractions).  Full
+    (8, 128) vreg occupancy for the Cholesky/substitution row ops does
+    NOT pay for what the packing costs elsewhere: sub x larger live
+    values per grid step (register pressure/spills in the unrolled
+    factor), and constant-matrix contractions losing their natural MXU
+    form (the contraction dim leaves the sublanes; neither per-slice
+    dots, rank-3 dots, nor trace-time-sparse scalar FMAs recover it).
+    The machinery stays behind APF_IPM_SUB so the experiment is
+    reproducible."""
+    import os
+
+    env = os.environ.get("APF_IPM_SUB", "")
+    if env:
+        return max(1, int(env))
+    return 1
 
 
 def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
-                         warm: WarmStart | None = None) -> StageSolution:
+                         warm: WarmStart | None = None,
+                         g_static=None, c_static=None) -> StageSolution:
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -1110,7 +1215,9 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
     nx = qp.A.shape[-1]
     nu = qp.B.shape[-1]
     m = qp.h.shape[-1]
-    Bp = ((B + LANES - 1) // LANES) * LANES
+    sub = _resident_sub(B)
+    tile = sub * LANES
+    Bp = ((B + tile - 1) // tile) * tile
 
     def to_bl(x):
         x = x.reshape((B,) + x.shape[len(batch):])
@@ -1158,7 +1265,8 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
         warm3 = None       # cold call: the kernel omits the streams
 
     outs = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A_l, B_l, q_l, mask,
-                     h_l, x0_l, warm3, xrows, interpret)
+                     h_l, x0_l, warm3, xrows, interpret, sub, g_static,
+                     c_static)
     if has_x:
         u, x, z, s, stat, zx_o, sx_o = outs
     else:

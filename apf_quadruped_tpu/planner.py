@@ -371,7 +371,14 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
             sol = solve_stage_qp_fused(qp, cfg.solver, warm=warm)
         elif backend == "riccati_resident":
             from .ops.pallas_riccati import solve_stage_qp_resident
-            sol = solve_stage_qp_resident(qp, cfg.solver, warm=warm)
+            # the pyramid block and base-box rows are CONFIG data —
+            # passed as hashable statics so the sub-packed kernel can
+            # unroll their contractions with trace-time sparsity
+            g_stat = tuple(map(tuple, blk.tolist()))
+            c_stat = (tuple(map(tuple, np.asarray(Cxd).tolist()))
+                      if Cxd is not None else None)
+            sol = solve_stage_qp_resident(qp, cfg.solver, warm=warm,
+                                          g_static=g_stat, c_static=c_stat)
         else:
             sol = solve_stage_qp(qp, cfg.solver, warm=warm)
         if refs.cone_rot is not None:
