@@ -85,6 +85,10 @@ class CycleMetrics(NamedTuple):
     fake_crawl: jnp.ndarray   # () bool
     qp_converged: jnp.ndarray  # () fraction of converged WBC solves
     mpc_converged: jnp.ndarray  # () bool
+    # () IPM iterations the cycle's MPC solve needed (solver diagnostics;
+    # warm-started replans converge in ~1-2 vs ~7 cold — PERF.md lever 1,
+    # asserted across shards by __graft_entry__.dryrun_multichip)
+    mpc_iters: jnp.ndarray
     crawling: jnp.ndarray     # () bool — crawl combo engaged this cycle
     slip_ticks: jnp.ndarray   # () fraction of ticks with any foot slipping
     tau_max: jnp.ndarray      # () peak |tau| over the cycle
@@ -362,6 +366,7 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
         fake_crawl=nav.fake_crawl,
         qp_converged=jnp.mean(conv.astype(dtype)),
         mpc_converged=plan.sol.converged,
+        mpc_iters=plan.sol.iters.astype(jnp.int32),
         crawling=crawling,
         slip_ticks=jnp.mean(slip.astype(dtype)),
         tau_max=jnp.max(taumax),
