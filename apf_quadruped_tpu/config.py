@@ -351,6 +351,20 @@ class MpcConfig:
     base_dev_rad: float = 0.05     # base_motion_constraint.cc:46
     base_z_below: float = 0.02     # base_motion_constraint.cc:55
     base_z_above: float = 0.10
+    # Optional base-ACCELERATION bounds — the convex analogue of towr's
+    # BaseAcc constraint (parameters.cc:57 "so accelerations don't jump
+    # between polynomials"; spline_acc_constraint.cc): per-knot rows
+    # |(x_{k+1} - x_k)/dt| <= acc_max on the omega and v state dims.
+    # The SRB accelerations are AFFINE IN THE CONTACT FORCES — the rows
+    # are (+-B_k[6:12,:]/dt) u_k <= acc_max -+ A_k[6:12,12]/dt — so
+    # every backend realizes them as per-knot input rows (the Riccati
+    # kernels derive them from the B stream they already carry).
+    # OPT-IN like base_box (towr defaults BaseAcc ON; here the 400 Hz
+    # WBC retracks between knots, so knot-accel smoothing is a shaping
+    # tool, not a requirement).
+    base_acc: bool = False
+    acc_lin_max: float = 8.0       # m/s^2 bound on |dv/dt| per axis
+    acc_ang_max: float = 20.0      # rad/s^2 bound on |domega/dt| per axis
 
 
 @dataclasses.dataclass(frozen=True)

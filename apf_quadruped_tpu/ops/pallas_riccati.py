@@ -353,9 +353,10 @@ def solve_stage_qp_fused(qp: StageQP, cfg: SolverConfig = SolverConfig(),
 
 def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
                       warm: WarmStart | None = None) -> StageSolution:
-    assert qp.Cx is None, (
-        "the 3-kernel fused cross-check has no state-row support; "
-        "use solve_stage_qp_resident (planner.effective_backend reroutes)")
+    assert qp.Cx is None and qp.acc_rhs is None, (
+        "the 3-kernel fused cross-check has no state-row / accel-row "
+        "support; use solve_stage_qp_resident (planner.effective_backend "
+        "reroutes)")
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -528,7 +529,7 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
 
 def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 w_clip, min_slack, warm_floor, has_warm, sub,
-                g_static=None, c_static=None):
+                g_static=None, c_static=None, acc_static=None):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
     sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
@@ -553,6 +554,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         under `if mc:` / `if has_warm:`).
     """
 
+    macc = acc_static is not None
+
     def kernel(*refs):
         (g_ref, gg_ref, rmatf_ref, rmatr_ref, qmat_ref, a_ref, b_ref,
          qlin_ref, mask_ref, h_ref, x0_ref) = refs[:11]
@@ -560,6 +563,9 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         if has_warm:
             wu_ref, wz_ref, ws_ref, wv_ref = refs[i:i + 4]
             i += 4
+            if macc:
+                wza_ref, wsa_ref = refs[i:i + 2]
+                i += 2
         if mc:
             cmat_ref, ccg_ref, cx_ref, maskx_ref = refs[i:i + 4]
             i += 4
@@ -568,11 +574,17 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         if mc:
             zx_ref, sx_ref = refs[i:i + 2]
             i += 2
+        if macc:
+            za_ref, sa_ref = refs[i:i + 2]
+            i += 2
         (l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref, kff_ref,
          gdu_ref, dua_ref, dza_ref, dsa_ref, mures_ref) = refs[i:i + 13]
         i += 13
         if mc:
             wx_ref, rzx_ref, dzxa_ref, dsxa_ref = refs[i:i + 4]
+            i += 4
+        if macc:
+            wa_ref, rza_ref, dzaa_ref, dsaa_ref = refs[i:i + 4]
 
         dt = x0_ref.dtype
         # Lane tile `lt`: (LANES,) for sub=1 (the flat layout: matrix
@@ -640,6 +652,26 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             """C' @ v: contract row dim -> (nx,) + lt."""
             return const_mul(cmat_ref, v, transpose=True, static=c_static)
 
+        # ---- base-acceleration rows (StageQP.acc_rhs; macc) -----------
+        # per-knot input rows +-B_k[6:12,:] u <= acc_rhs -+ A_k[6:12,12],
+        # derived from the A/B streams the kernel already carries
+        if macc:
+            ha_const = jnp.stack(
+                [jnp.full(lt, float(v), dt)
+                 for v in (list(acc_static) + list(acc_static))])
+
+            def acc_rows(Ak, Bk, u):
+                """(12,) + lt signed row values [v; -v],
+                v = B[6:12,:] u + A[6:12,12]."""
+                bu = jnp.sum(Bk[6:12] * u[None], axis=1)
+                v = bu + Ak[6:12, 12]
+                return jnp.concatenate([v, -v], axis=0)
+
+            def acc_t_vec(Bk, v12):
+                """Ga' v for the signed rows: sum_d B[6+d,:] (v+ - v-)."""
+                dv = v12[0:6] - v12[6:12]
+                return jnp.sum(Bk[6:12] * dv[:, None], axis=0)
+
         # ---- init (whole-array: no per-knot loops) --------------------
         if has_warm:
             vb = valid[None, None]
@@ -673,12 +705,36 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             sx_ref[:] = -r0x + shiftx[None, None]
             zx_ref[:] = jnp.maximum(r0x, 0.0) + 1.0
 
+        if macc:
+            # accel-row init at u = 0: r0a = [off; -off] - ha
+            def fwd0a(k, _):
+                off = a_ref[k].astype(dt)[6:12, 12]
+                rza_ref[k] = (jnp.concatenate([off, -off], axis=0)
+                              - ha_const)
+                return 0
+            jax.lax.fori_loop(0, H, fwd0a, 0, unroll=False)
+            r0a = rza_ref[:]
+            shifta = jnp.maximum(0.0, jnp.max(r0a, axis=(0, 1))) + 1.0
+            sa_cold = -r0a + shifta[None, None]
+            za_cold = jnp.maximum(r0a, 0.0) + 1.0
+            if has_warm:
+                sa_ref[:] = jnp.where(vb, jnp.maximum(wsa_ref[:],
+                                                      warm_floor), sa_cold)
+                za_ref[:] = jnp.where(vb, jnp.maximum(wza_ref[:],
+                                                      warm_floor), za_cold)
+            else:
+                sa_ref[:] = sa_cold
+                za_ref[:] = za_cold
+
         qn2 = jnp.sum(qlin_ref[:] * qlin_ref[:], axis=(0, 1))
         hn2 = jnp.sum(h_all * h_all, axis=(0, 1))
         m_eff = jnp.sum(mask_ref[:], axis=(0, 1))
         if mc:
             hn2 = hn2 + jnp.sum(cx_ref[:] * cx_ref[:], axis=(0, 1))
             m_eff = m_eff + jnp.sum(maskx_ref[:], axis=(0, 1))
+        if macc:
+            hn2 = hn2 + float(2.0 * H * sum(v * v for v in acc_static))
+            m_eff = m_eff + 12.0 * H
         qnorm = 1.0 + jnp.sqrt(qn2)
         hnorm = 1.0 + jnp.sqrt(hn2)
         m_eff = jnp.maximum(m_eff, 1.0)
@@ -722,6 +778,17 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 gt_zm = const_mul(g_ref, mk * zk, transpose=True, static=g_static)
                 ru = jnp.sum(rmatr_ref[:] * u_ref[k][None], axis=1)
                 rxk = ru + bt_lam + gt_zm
+                if macc:
+                    zak = za_ref[k]
+                    sak = sa_ref[k]
+                    rzak = acc_rows(Ak, Bk, u_ref[k]) + sak - ha_const
+                    rza_ref[k] = rzak
+                    wa_ref[k] = jnp.clip(
+                        jnp.maximum(zak, min_slack)
+                        / jnp.maximum(sak, min_slack), 0.0, w_clip)
+                    rxk = rxk + acc_t_vec(Bk, zak)
+                    rz2 = rz2 + jnp.sum(rzak * rzak, axis=0)
+                    sz = sz + jnp.sum(sak * zak, axis=0)
                 rx_ref[k] = rxk
                 guk = const_mul(g_ref, u_ref[k], static=g_static)
                 gu_ref[k] = guk
@@ -743,10 +810,12 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             res = jnp.maximum(jnp.sqrt(rx2) / qnorm, jnp.sqrt(rz2) / hnorm)
             return mu, res
 
-        def knot_factor(Ak, Bk, Pb, wk, wxk):
+        def knot_factor(Ak, Bk, Pb, wk, wxk, wak=None):
             """One Riccati factor step at a knot: barrier fold-in,
             Cholesky of M_k, gains K_k.  Pure function of in-register
-            values; returns (L rows, dinv, Kk list, Pn)."""
+            values; returns (L rows, dinv, Kk list, Pn).  wak: optional
+            accel-row barrier weights (12,) + lt — their Gram is rank-6
+            in rows of B, added to M_k only (the rows touch u, not x)."""
             if mc:
                 # state-row barrier: Pb += C' diag(wx) C = CC @ wx
                 px_flat = const_mul(ccg_ref, wxk, static=cc_static)
@@ -757,6 +826,12 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                       for i in range(nx))
             Mk = Rk + sum(BtP[:, xx][:, None] * Bk[xx][None]
                           for xx in range(nx))
+            if macc and wak is not None:
+                # M_k += sum_d (wa+_d + wa-_d) B[6+d,:] B[6+d,:]'
+                da = wak[0:6] + wak[6:12]
+                Mk = Mk + sum(Bk[6 + d][:, None]
+                              * (da[d][None] * Bk[6 + d])[None]
+                              for d in range(6))
             L, dinv = _chol_rows(Mk, nu)
             BtPA = sum(BtP[:, xx][:, None] * Ak[xx][None]
                        for xx in range(nx))
@@ -771,7 +846,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 0, 1))
             return L, dinv, Kk, Pn
 
-        def vector_bwd(rc_of_k, rcx_of_k):
+        def vector_bwd(rc_of_k, rcx_of_k, rca_of_k):
             """Backward half of the affine-LQR solve against the STORED
             factorization (corrector pass; the predictor's backward half
             is fused into the residual+factor sweep)."""
@@ -787,6 +862,11 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 s_safe = jnp.maximum(s_ref[k], min_slack)
                 vmk = mask_ref[k] * (w_ref[k] * rz_ref[k] + rck / s_safe)
                 gt_vm = const_mul(g_ref, vmk, transpose=True, static=g_static)
+                if macc:
+                    sa_safe = jnp.maximum(sa_ref[k], min_slack)
+                    vmak = (wa_ref[k] * rza_ref[k]
+                            + rca_of_k(k) / sa_safe)
+                    gt_vm = gt_vm + acc_t_vec(b_ref[k].astype(dt), vmak)
                 rhs_k = -(rx_ref[k] + gt_vm)
                 g_u = -rhs_k + jnp.sum(b_ref[k].astype(dt)
                                        * sv[:, None], axis=0)
@@ -805,11 +885,13 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                           jnp.inf)
             return jnp.minimum(cur, jnp.min(r, axis=0))
 
-        def vector_fwd(rc_of_k, rcx_of_k):
+        def vector_fwd(rc_of_k, rcx_of_k, rca_of_k):
             """Forward half of the affine-LQR solve: du from the gains +
             kff_ref, step components into the (dua, dza, dsa) scratch,
             returning the per-lane steplen ratio mins over all row
             sets."""
+            ones_a = jnp.ones(lt, dt)
+
             def fwd(k, carry):
                 dx, rs, rz_ = carry
                 du = (-jnp.sum(k_ref[k] * dx[None], axis=1)
@@ -824,6 +906,18 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 dza_ref[k] = dzk
                 rs = ratio(s_ref[k], dsk, rs, mask_ref[k])
                 rz_ = ratio(z_ref[k], dzk, rz_, mask_ref[k])
+                if macc:
+                    Bk = b_ref[k].astype(dt)
+                    bu = jnp.sum(Bk[6:12] * du[None], axis=1)
+                    dva = jnp.concatenate([bu, -bu], axis=0)
+                    rcak = rca_of_k(k)
+                    sa_safe = jnp.maximum(sa_ref[k], min_slack)
+                    dsak = -rza_ref[k] - dva
+                    dzak = (rcak - za_ref[k] * dsak) / sa_safe
+                    dsaa_ref[k] = dsak
+                    dzaa_ref[k] = dzak
+                    rs = ratio(sa_ref[k], dsak, rs, ones_a[None])
+                    rz_ = ratio(za_ref[k], dzak, rz_, ones_a[None])
                 dxn = (jnp.sum(a_ref[k].astype(dt) * dx[None], axis=1)
                        + jnp.sum(b_ref[k].astype(dt) * du[None],
                                  axis=1))
@@ -905,6 +999,21 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     gt_zm = const_mul(g_ref, mk * zk, transpose=True, static=g_static)
                     ru = jnp.sum(rmatr_ref[:] * u_ref[k][None], axis=1)
                     rxk = ru + bt_lam + gt_zm
+                    if macc:
+                        zak = za_ref[k]
+                        sak = sa_ref[k]
+                        rzak = (acc_rows(Ak, Bk, u_ref[k]) + sak
+                                - ha_const)
+                        rza_ref[k] = rzak
+                        wak = jnp.clip(
+                            jnp.maximum(zak, min_slack)
+                            / jnp.maximum(sak, min_slack), 0.0, w_clip)
+                        wa_ref[k] = wak
+                        rxk = rxk + acc_t_vec(Bk, zak)
+                        rz2 = rz2 + jnp.sum(rzak * rzak, axis=0)
+                        sz = sz + jnp.sum(sak * zak, axis=0)
+                    else:
+                        wak = None
                     rx_ref[k] = rxk
                     guk = const_mul(g_ref, u_ref[k], static=g_static)
                     rzk = mk * guk + sk - h_ref[k]
@@ -917,8 +1026,9 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     rz2 = rz2 + jnp.sum((rzk * mk) ** 2, axis=0)
                     sz = sz + jnp.sum(sk * zk * mk, axis=0)
                     lam_new = jnp.sum(Ak * lam_k[:, None], axis=0)
-                    # --- factor (consumes wk/wxk in registers) ---
-                    L, dinv, Kk, Pn = knot_factor(Ak, Bk, Pb, wk, wxk)
+                    # --- factor (consumes wk/wxk/wak in registers) ---
+                    L, dinv, Kk, Pn = knot_factor(Ak, Bk, Pb, wk, wxk,
+                                                  wak)
                     l_ref[k] = jnp.stack([jnp.stack(
                         [L[i][j] if j <= i else jnp.zeros(lt, dt)
                          for j in range(nu)]) for i in range(nu)])
@@ -935,6 +1045,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     s_safe = jnp.maximum(sk, min_slack)
                     vmk = mk * (wk * rzk + (-sk * zk) / s_safe)
                     gt_vm = const_mul(g_ref, vmk, transpose=True, static=g_static)
+                    if macc:
+                        sa_safe = jnp.maximum(sak, min_slack)
+                        vmak = wak * rzak + (-sak * zak) / sa_safe
+                        gt_vm = gt_vm + acc_t_vec(Bk, vmak)
                     rhs_k = -(rxk + gt_vm)
                     g_u = -rhs_k + jnp.sum(Bk * sv[:, None], axis=0)
                     kff = _subst_rows(L, dinv, [g_u[i] for i in range(nu)],
@@ -961,7 +1075,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 # stage 3: predictor forward half
                 rs, rzr = vector_fwd(
                     lambda k: -s_ref[k] * z_ref[k],
-                    (lambda k: -sx_ref[k] * zx_ref[k]) if mc else None)
+                    (lambda k: -sx_ref[k] * zx_ref[k]) if mc else None,
+                    (lambda k: -sa_ref[k] * za_ref[k]) if macc else None)
                 a_a = jnp.minimum(jnp.minimum(rs, rzr), 1.0)
 
                 # stage 4: mu_aff as a whole-array reduction (no loop)
@@ -975,6 +1090,10 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                         (sx_ref[:] + ab * dsxa_ref[:])
                         * (zx_ref[:] + ab * dzxa_ref[:]) * maskx_ref[:],
                         axis=(0, 1))
+                if macc:
+                    mu_aff = mu_aff + jnp.sum(
+                        (sa_ref[:] + ab * dsaa_ref[:])
+                        * (za_ref[:] + ab * dzaa_ref[:]), axis=(0, 1))
                 mu_aff = mu_aff / m_eff
                 sigma = jnp.clip(mu_aff / jnp.maximum(mu, min_slack),
                                  0.0, 1.0) ** sigma_pow
@@ -987,11 +1106,17 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 def rcx_corr(k):
                     return -(sx_ref[k] * zx_ref[k]
                              + dsxa_ref[k] * dzxa_ref[k] - sig_mu[None])
+
+                def rca_corr(k):
+                    return -(sa_ref[k] * za_ref[k]
+                             + dsaa_ref[k] * dzaa_ref[k] - sig_mu[None])
                 # stages 5+6: corrector solve (overwrites the predictor
                 # direction scratch; rc_corr reads the predictor's
                 # dsa/dza at knot k before the fwd pass overwrites them)
-                vector_bwd(rc_corr, rcx_corr if mc else None)
-                rs, rzr = vector_fwd(rc_corr, rcx_corr if mc else None)
+                vector_bwd(rc_corr, rcx_corr if mc else None,
+                           rca_corr if macc else None)
+                rs, rzr = vector_fwd(rc_corr, rcx_corr if mc else None,
+                                     rca_corr if macc else None)
                 a = jnp.minimum(frac * jnp.minimum(rs, rzr), 1.0)
                 a = jnp.where(frozen, 0.0, a)
 
@@ -1006,6 +1131,11 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     zx_ref[:] = jnp.maximum(zx_ref[:] + av * dzxa_ref[:],
                                             min_slack)
                     sx_ref[:] = jnp.maximum(sx_ref[:] + av * dsxa_ref[:],
+                                            min_slack)
+                if macc:
+                    za_ref[:] = jnp.maximum(za_ref[:] + av * dzaa_ref[:],
+                                            min_slack)
+                    sa_ref[:] = jnp.maximum(sa_ref[:] + av * dsaa_ref[:],
                                             min_slack)
 
             mu = mures_ref[0]
@@ -1051,7 +1181,8 @@ def _vspec_sub(shape):
 
 
 def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
-              warm3, xrows, interpret, sub, g_static=None, c_static=None):
+              warm3, xrows, interpret, sub, g_static=None, c_static=None,
+              acc_static=None, warm_acc=None):
     """warm3: None (cold call — the kernel omits the streams) or
     (wu (H, nu, Bp), wz (H, m, Bp), ws (H, m, Bp), wv (1, Bp)).
     xrows: None or (cmat (mc, nx), ccg (nx*nx, mc), cx (H, mc, Bp),
@@ -1071,7 +1202,8 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
                        float(cfg.min_slack), float(cfg.warm_floor),
-                       has_warm, sub, g_static, c_static)
+                       has_warm, sub, g_static, c_static, acc_static)
+    macc = acc_static is not None
     lt = (LANES,) if sub == 1 else (sub, LANES)
 
     def blocked(v):
@@ -1107,6 +1239,10 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         wu, wz, ws, wv = warm3
         in_specs += [vs((H, nu)), vs((H, m)), vs((H, m)), vs((1,))]
         args += [blocked(wu), blocked(wz), blocked(ws), blocked(wv)]
+        if macc:
+            wza, wsa = warm_acc
+            in_specs += [vs((H, 12)), vs((H, 12))]
+            args += [blocked(wza), blocked(wsa)]
     out_specs = [vs((H, nu)), vs((H, nx)), vs((H, m)), vs((H, m)),
                  vs((8,))]
 
@@ -1124,6 +1260,9 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         args += [cmat, ccg, blocked(cx), blocked(maskx)]
         out_specs += [vs((H, mc)), vs((H, mc))]
         out_shape += [oshape((H, mc)), oshape((H, mc))]
+    if macc:
+        out_specs += [vs((H, 12)), vs((H, 12))]
+        out_shape += [oshape((H, 12)), oshape((H, 12))]
     scratch = [
         pltpu.VMEM((H, nu, nu) + lt, dt),   # l
         pltpu.VMEM((H, nu) + lt, dt),       # d
@@ -1144,6 +1283,11 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
                     pltpu.VMEM((H, mc) + lt, dt),   # rzx
                     pltpu.VMEM((H, mc) + lt, dt),   # dzxa
                     pltpu.VMEM((H, mc) + lt, dt)]   # dsxa
+    if macc:
+        scratch += [pltpu.VMEM((H, 12) + lt, dt),   # wa
+                    pltpu.VMEM((H, 12) + lt, dt),   # rza
+                    pltpu.VMEM((H, 12) + lt, dt),   # dzaa
+                    pltpu.VMEM((H, 12) + lt, dt)]   # dsaa
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -1161,11 +1305,12 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret", "g_static",
-                                   "c_static"))
+                                   "c_static", "acc_static"))
 def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
                             interpret: bool | None = None,
                             warm: WarmStart | None = None,
-                            g_static=None, c_static=None) -> StageSolution:
+                            g_static=None, c_static=None,
+                            acc_static=None) -> StageSolution:
     """One-kernel VMEM-resident variant of solve_stage_qp_fused: the whole
     fixed-iteration Mehrotra loop runs inside a single pallas_call, so
     problem data is read from HBM once per 128-lane block and no
@@ -1176,9 +1321,13 @@ def solve_stage_qp_resident(qp: StageQP, cfg: SolverConfig = SolverConfig(),
     the towr BaseMotionConstraint on the production path)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if qp.acc_rhs is not None:
+        assert acc_static is not None, (
+            "StageQP.acc_rhs on the resident kernel needs the bounds as "
+            "a hashable static (acc_static) — they are config data")
     with jax.default_matmul_precision("highest"):
         return _solve_resident_impl(qp, cfg, interpret, warm, g_static,
-                                    c_static)
+                                    c_static, acc_static)
 
 
 def _resident_sub(B: int) -> int:
@@ -1207,7 +1356,8 @@ def _resident_sub(B: int) -> int:
 
 def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
                          warm: WarmStart | None = None,
-                         g_static=None, c_static=None) -> StageSolution:
+                         g_static=None, c_static=None,
+                         acc_static=None) -> StageSolution:
     dt = qp.x0.dtype
     batch = qp.x0.shape[:-1]
     B = int(np.prod(batch)) if batch else 1
@@ -1258,17 +1408,33 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
     else:
         xrows = None
 
+    macc = qp.acc_rhs is not None
+    warm_acc = None
     if warm is not None:
-        warm3 = (to_bl(warm.u), to_bl(warm.z), to_bl(warm.s),
+        # with accel rows, WarmStart.z/s carry them as the LAST 12
+        # columns (the scan backend's natural layout) — split here
+        wz_full = warm.z
+        ws_full = warm.s
+        if macc:
+            warm_acc = (to_bl(wz_full[..., m:]), to_bl(ws_full[..., m:]))
+            wz_full = wz_full[..., :m]
+            ws_full = ws_full[..., :m]
+        warm3 = (to_bl(warm.u), to_bl(wz_full), to_bl(ws_full),
                  to_bl(warm.valid[..., None, None].astype(dt))[:, 0, :])
     else:
         warm3 = None       # cold call: the kernel omits the streams
 
     outs = _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A_l, B_l, q_l, mask,
                      h_l, x0_l, warm3, xrows, interpret, sub, g_static,
-                     c_static)
-    if has_x:
+                     c_static, acc_static if macc else None, warm_acc)
+    za_o = sa_o = None
+    if has_x and macc:
+        u, x, z, s, stat, zx_o, sx_o, za_o, sa_o = outs
+    elif has_x:
         u, x, z, s, stat, zx_o, sx_o = outs
+    elif macc:
+        u, x, z, s, stat, za_o, sa_o = outs
+        zx_o = sx_o = None
     else:
         u, x, z, s, stat = outs
         zx_o = sx_o = None
@@ -1289,8 +1455,14 @@ def _solve_resident_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
         return v.reshape(batch) if batch else v[0]
 
     conv = scal(stat[0]) > 0.5
+    z_bf = to_bf(z)
+    s_bf = to_bf(s)
+    if macc:
+        # append the accel rows so every backend returns (.., H, M+12)
+        z_bf = jnp.concatenate([z_bf, to_bf(za_o)], axis=-1)
+        s_bf = jnp.concatenate([s_bf, to_bf(sa_o)], axis=-1)
     return StageSolution(
-        u=fix(u_bf), x=fix(x_bf), z=fix(to_bf(z)), s=fix(to_bf(s)),
+        u=fix(u_bf), x=fix(x_bf), z=fix(z_bf), s=fix(s_bf),
         converged=conv & lane_ok,
         iters=scal(stat[1]).astype(jnp.int32),
         gap=jnp.nan_to_num(scal(stat[2]), nan=jnp.inf),

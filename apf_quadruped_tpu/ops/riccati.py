@@ -106,6 +106,16 @@ class StageQP(NamedTuple):
     Cx: jnp.ndarray | None = None
     cx: jnp.ndarray | None = None
     mask_x: jnp.ndarray | None = None
+    # Optional STATE-DELTA rows |(x_{k+1} - x_k)[6:12]| <= acc_rhs
+    # (MpcConfig.base_acc — towr's BaseAcc analogue).  acc_rhs: (6,)
+    # per-dim bound on the velocity-state CHANGE per step (acc_max*dt).
+    # Assumes the SRB state layout (dims 6:12 = [omega; v] with the
+    # affine carrier at column 12): the rows reduce to per-knot INPUT
+    # rows +-B_k[6:12,:] u <= acc_rhs -+ A_k[6:12,12], which the solver
+    # derives from (A, B) — no extra matrix data.  Solutions gain 12
+    # inequality rows: z/s come back as (.., H, M + 12) with the accel
+    # rows LAST (and WarmStart.z/s are expected in the same layout).
+    acc_rhs: jnp.ndarray | None = None
 
 
 class StageSolution(NamedTuple):
@@ -179,6 +189,19 @@ def _solve_impl(qp: StageQP, cfg: SolverConfig,
     hvec = jnp.broadcast_to(qp.h, batch + (Hh, M))
     hvec = jnp.where(mask > 0, hvec, jnp.ones_like(hvec))
     Gm = mask[..., None] * G                              # (.., H, M, NU)
+
+    if qp.acc_rhs is not None:
+        # base-acceleration rows (StageQP.acc_rhs): per-knot input rows
+        # +-B[6:12,:] u <= acc_rhs -+ A[6:12,12], appended to the
+        # per-knot row set (Gm is already per-knot data here)
+        SB = qp.B[..., 6:12, :]                           # (.., H, 6, NU)
+        off = qp.A[..., 6:12, 12]                         # (.., H, 6)
+        rhs6 = jnp.broadcast_to(qp.acc_rhs.astype(dt), batch + (Hh, 6))
+        Gm = jnp.concatenate([Gm, SB, -SB], axis=-2)
+        hvec = jnp.concatenate([hvec, rhs6 - off, rhs6 + off], axis=-1)
+        mask = jnp.concatenate(
+            [mask, jnp.ones(batch + (Hh, 12), dt)], axis=-1)
+        M = M + 12
 
     # optional STATE rows Cx x_{k+1} <= cx; absent -> MC = 0 zero-size
     # arrays, which XLA compiles away entirely (one code path, no cost)

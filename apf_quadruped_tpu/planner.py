@@ -173,7 +173,8 @@ def effective_backend(cfg: EngineConfig) -> str:
     3-kernel fused cross-check lacks state-row support and falls through
     to the resident kernel.
     """
-    if cfg.mpc.base_box and cfg.mpc.backend == "riccati_fused":
+    if (cfg.mpc.base_box or cfg.mpc.base_acc) \
+            and cfg.mpc.backend == "riccati_fused":
         return "riccati_resident"
     if cfg.mpc.backend == "auto":
         if jax.default_backend() != "tpu":
@@ -357,6 +358,14 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
                                state0.shape[:-1] + (mpc.horizon, 6))
         mask_xd = jnp.ones_like(cxd)
 
+    # base-acceleration bounds (towr BaseAcc analogue): per-dim bound on
+    # the velocity-state change per knot, realized as per-knot input
+    # rows inside every backend (StageQP.acc_rhs)
+    acc_rhs = None
+    if mpc.base_acc:
+        acc_rhs = jnp.asarray(
+            [mpc.acc_ang_max] * 3 + [mpc.acc_lin_max] * 3, dtype) * mpc.dt
+
     def solve(A, B, warm):
         if refs.cone_rot is not None:
             B = _rotate_B(B, refs.cone_rot)      # solve in the cone basis
@@ -365,7 +374,8 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
                     u=_forces_to_local(warm.u, refs.cone_rot))
         qp = StageQP(A=A, B=B, Q=Q, qlin=qlin, R=R,
                      G=jnp.asarray(blk, dtype), h=jnp.asarray(rhs_blk, dtype),
-                     mask=mask, x0=state0, Cx=Cxd, cx=cxd, mask_x=mask_xd)
+                     mask=mask, x0=state0, Cx=Cxd, cx=cxd, mask_x=mask_xd,
+                     acc_rhs=acc_rhs)
         if backend == "riccati_fused":
             from .ops.pallas_riccati import solve_stage_qp_fused
             sol = solve_stage_qp_fused(qp, cfg.solver, warm=warm)
@@ -377,8 +387,14 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
             g_stat = tuple(map(tuple, blk.tolist()))
             c_stat = (tuple(map(tuple, np.asarray(Cxd).tolist()))
                       if Cxd is not None else None)
+            a_stat = None
+            if mpc.base_acc:
+                a_stat = tuple(
+                    float(v * mpc.dt) for v in
+                    [mpc.acc_ang_max] * 3 + [mpc.acc_lin_max] * 3)
             sol = solve_stage_qp_resident(qp, cfg.solver, warm=warm,
-                                          g_static=g_stat, c_static=c_stat)
+                                          g_static=g_stat, c_static=c_stat,
+                                          acc_static=a_stat)
         else:
             sol = solve_stage_qp(qp, cfg.solver, warm=warm)
         if refs.cone_rot is not None:
@@ -470,6 +486,25 @@ def _plan_condensed(cfg: EngineConfig, state0, refs: MpcRefs) -> MpcPlan:
         h = jnp.concatenate([h, h_box.reshape(batch + (n_box,))], axis=-1)
         ineq_mask = jnp.concatenate(
             [ineq_mask, jnp.ones(batch + (n_box,), dtype)], axis=-1)
+
+    if mpc.base_acc:
+        # base-acceleration rows (towr BaseAcc analogue; see
+        # StageQP.acc_rhs): per-knot input rows +-B_k[6:12,:] u_k <=
+        # acc_rhs -+ A_k[6:12,12], block-diagonal on the stacked U
+        SB = B[..., 6:12, :]                              # (.., H, 6, NU)
+        off = A[..., 6:12, 12]                            # (.., H, 6)
+        rhs6 = jnp.broadcast_to(
+            jnp.asarray([mpc.acc_ang_max] * 3 + [mpc.acc_lin_max] * 3,
+                        dtype) * mpc.dt, batch + (Hh, 6))
+        eyeH = jnp.eye(Hh, dtype=dtype)
+        Gacc = jnp.einsum("hk,...hrc->...hrkc", eyeH, SB).reshape(
+            batch + (Hh * 6, Hh * NU))
+        G = jnp.concatenate([G, Gacc, -Gacc], axis=-2)
+        h = jnp.concatenate([h, (rhs6 - off).reshape(batch + (Hh * 6,)),
+                             (rhs6 + off).reshape(batch + (Hh * 6,))],
+                            axis=-1)
+        ineq_mask = jnp.concatenate(
+            [ineq_mask, jnp.ones(batch + (Hh * 12,), dtype)], axis=-1)
 
     # no equality rows (swing forces are decoupled + regularized to zero)
     Aeq = jnp.zeros(batch + (1, Hh * NU), dtype)

@@ -250,8 +250,16 @@ def _run_cycle_impl(cfg: EngineConfig, st: LoopState,
             flag_for = gait_flag
         Hh = cfg.mpc.horizon
         u_next = plan.forces[:, perm, :].reshape(Hh, 12)
-        z_next = plan.sol.z.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
-        s_next = plan.sol.s.reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
+
+        def permute_rows(v):
+            # the first 24 rows are the per-leg pyramid (4 legs x 6) and
+            # permute with the mirrored swing pair; any extra rows
+            # (base_acc) are leg-agnostic and carry through unpermuted
+            v = v.reshape(Hh, -1)
+            pyr = v[:, :24].reshape(Hh, 4, 6)[:, perm, :].reshape(Hh, 24)
+            return jnp.concatenate([pyr, v[:, 24:]], axis=-1)
+        z_next = permute_rows(plan.sol.z)
+        s_next = permute_rows(plan.sol.s)
         warm_next = (u_next, z_next, s_next, ~vfalse, flag_for)
     else:
         warm_next = (st.warm_u, st.warm_z, st.warm_s, st.warm_valid,
@@ -403,13 +411,15 @@ def run(cfg: EngineConfig, st: LoopState, terr: terrain_mod.Terrain,
 def init(cfg: EngineConfig, xy=(0.0, 0.0), yaw: float = 0.0,
          dtype=jnp.float32) -> LoopState:
     Hh = cfg.mpc.horizon
+    # warm z/s row count: 24 pyramid rows + 12 base_acc rows if enabled
+    nrow = 24 + (12 if cfg.mpc.base_acc else 0)
     return LoopState(sim=physics.initial_state(cfg, xy, yaw, dtype),
                      apf=apf.init_state((), dtype),
                      cycle_idx=jnp.asarray(0, jnp.int32),
                      crawling=jnp.asarray(cfg.gait.mode == "crawl"),
                      warm_u=jnp.zeros((Hh, 12), dtype),
-                     warm_z=jnp.zeros((Hh, 24), dtype),
-                     warm_s=jnp.zeros((Hh, 24), dtype),
+                     warm_z=jnp.zeros((Hh, nrow), dtype),
+                     warm_s=jnp.zeros((Hh, nrow), dtype),
                      warm_valid=jnp.asarray(False),
                      warm_flag=jnp.asarray(0, jnp.int32),
                      # spawn is at rest (u = 0) so the momentum offset

@@ -289,3 +289,109 @@ def test_base_box_riccati_matches_condensed():
     z = np.asarray(out_r.states)[:, 5]
     assert z.max() <= 0.4 + 0.1 + 2e-3
     assert z.max() >= 0.4 + 0.1 - 2e-3      # it actually rides the box
+
+
+def _acc_refs(cfg, com0, com_des):
+    H = cfg.mpc.horizon
+    feet0 = jnp.asarray(nominal_stance(cfg.robot)) + com0
+    feet0 = feet0.at[:, 2].set(0.0)
+    contacts = jnp.ones((H, 4))
+    return planner.MpcRefs(
+        contacts=contacts,
+        feet_w=planner.foothold_schedule(feet0, feet0, contacts),
+        x_ref=planner.reference_trajectory(
+            cfg, jnp.zeros(3), com0, com_des, jnp.asarray(0.0),
+            jnp.asarray(H * cfg.mpc.dt)),
+        yaw_ref=jnp.asarray(0.0))
+
+
+def test_base_acc_bounds_bind():
+    """MpcConfig.base_acc (towr BaseAcc analogue): with a tight vertical
+    acceleration bound, the planned per-knot velocity deltas respect
+    |dv/dt| <= acc_lin_max while the unconstrained plan exceeds it."""
+    mk = dict(horizon=10, dt=0.05)
+    sol_cfg = SolverConfig(iters=40, reltol=1e-5, abstol=1e-3)
+    cfg_free = EngineConfig(mpc=MpcConfig(**mk, backend="riccati"),
+                            solver=sol_cfg)
+    cfg_acc = EngineConfig(
+        mpc=MpcConfig(**mk, backend="riccati", base_acc=True,
+                      acc_lin_max=1.5, acc_ang_max=5.0),
+        solver=sol_cfg)
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.0, 0.6])      # aggressive 0.2 m pop-up
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+
+    out_f = planner.plan(cfg_free, x0, _acc_refs(cfg_free, com0, com_des))
+    out_a = planner.plan(cfg_acc, x0, _acc_refs(cfg_acc, com0, com_des))
+    assert bool(out_f.sol.converged) and bool(out_a.sol.converged)
+
+    def dvdt(out):
+        xs = np.concatenate([np.asarray(x0)[None], np.asarray(out.states)])
+        # state dims 6:12 = [omega; v]; gravity enters the v rows through
+        # the affine carrier, so add it back to read the true accel
+        dv = np.diff(xs[:, 6:12], axis=0) / 0.05
+        dv[:, 5] += srb.GRAVITY * 0.0  # (z accel measured incl. gravity)
+        return dv
+
+    a_free = dvdt(out_f)
+    a_acc = dvdt(out_a)
+    # the free plan violates the 1.5 m/s^2 bound on z; the constrained
+    # one respects it (within solver tolerance)
+    assert np.abs(a_free[:, 3:6]).max() > 1.5 + 0.5
+    assert np.abs(a_acc[:, 3:6]).max() <= 1.5 + 0.05
+    assert np.abs(a_acc[:, 0:3]).max() <= 5.0 + 0.1
+    # both still converge toward the goal direction
+    assert np.asarray(out_a.states)[-1, 5] > 0.45
+
+
+def test_base_acc_riccati_matches_condensed():
+    """base_acc cross-validation (same pattern as base_box): the Riccati
+    backend's per-knot input rows and the condensed backend's
+    block-diagonal rows describe the same constraint set."""
+    mk = dict(horizon=10, dt=0.05, base_acc=True, acc_lin_max=1.5,
+              acc_ang_max=5.0)
+    sol_cfg = SolverConfig(iters=60, reltol=1e-5, abstol=1e-3)
+    cfg_r = EngineConfig(mpc=MpcConfig(**mk, backend="riccati"),
+                         solver=sol_cfg)
+    cfg_c = EngineConfig(mpc=MpcConfig(**mk, backend="condensed"),
+                         solver=sol_cfg)
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.05, 0.6])
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+    out_r = planner.plan(cfg_r, x0, _acc_refs(cfg_r, com0, com_des))
+    out_c = planner.plan(cfg_c, x0, _acc_refs(cfg_c, com0, com_des))
+    assert bool(out_r.sol.converged) and bool(out_c.sol.converged)
+    xr, xc = np.asarray(out_r.states), np.asarray(out_c.states)
+    np.testing.assert_allclose(xr[:, 0:6], xc[:, 0:6], atol=1e-3)
+    np.testing.assert_allclose(xr[:, 6:12], xc[:, 6:12], atol=0.02)
+    fr, fc = np.asarray(out_r.forces), np.asarray(out_c.forces)
+    np.testing.assert_allclose(fr.sum(1), fc.sum(1), atol=5.0)
+
+
+def test_base_acc_resident_matches_scan():
+    """base_acc on the PRODUCTION resident kernel (accel rows derived
+    in-kernel from the B stream) must agree with the scan backend."""
+    mk = dict(horizon=10, dt=0.05, base_acc=True, acc_lin_max=1.5,
+              acc_ang_max=5.0)
+    sol_cfg = SolverConfig(iters=40, reltol=1e-5, abstol=1e-3)
+    cfg_s = EngineConfig(mpc=MpcConfig(**mk, backend="riccati"),
+                         solver=sol_cfg)
+    cfg_p = EngineConfig(mpc=MpcConfig(**mk, backend="riccati_resident"),
+                         solver=sol_cfg)
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.05, 0.6])
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+    out_s = planner.plan(cfg_s, x0, _acc_refs(cfg_s, com0, com_des))
+    out_p = planner.plan(cfg_p, x0, _acc_refs(cfg_p, com0, com_des))
+    assert bool(out_s.sol.converged) and bool(out_p.sol.converged)
+    # both converged at the same tolerance; f32 reduction-order
+    # differences between the backends shift the near-degenerate
+    # boundary point by a few 1e-3, and at bound-riding knots the force
+    # SPLIT is degenerate (as in the base_box cross-check) — compare
+    # trajectories plus the per-knot NET force
+    np.testing.assert_allclose(np.asarray(out_p.states),
+                               np.asarray(out_s.states), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_p.forces).sum(1),
+                               np.asarray(out_s.forces).sum(1), atol=5.0)
+    # solutions carry the 12 extra rows in both backends
+    assert out_s.sol.z.shape == out_p.sol.z.shape
