@@ -79,14 +79,20 @@ def main():
         com0, jnp.zeros((B, 3), dtype), vel)
 
     f = jax.jit(lambda x0, refs: planner.plan(cfg, x0, refs))
-    out = jax.block_until_ready(f(x0, refs))          # compile
+    out = f(x0, refs)                                  # compile
+    np.asarray(out.forces).sum()                       # force execution
     conv = float(np.mean(np.asarray(out.sol.converged)))
 
-    n_rep = 10
+    # Timing: enqueue a burst and force a VALUE READ of the last result.
+    # Through the axon tunnel block_until_ready can return at enqueue
+    # (observed both behaviors across sessions), so only a read of the
+    # final output reliably fences the whole burst; the one read's
+    # round-trip (~27 ms) amortizes over the reps.
+    n_rep = 50
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = f(x0, refs)
-    jax.block_until_ready(out)
+    np.asarray(out.forces).sum()
     dt_call = (time.perf_counter() - t0) / n_rep
     solves_per_s = B / dt_call
 

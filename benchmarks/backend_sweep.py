@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--batches", default="128,256,512,1024")
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--iters", type=int, default=15)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=50)
     args = ap.parse_args()
 
     import jax
@@ -85,13 +85,19 @@ def main():
             x0, refs = build_inputs(cfg, B, jnp.float32)
             f = jax.jit(lambda x0, refs: planner.plan(cfg, x0, refs))
             t0 = time.perf_counter()
-            out = jax.block_until_ready(f(x0, refs))
+            out = f(x0, refs)
+            np.asarray(out.forces).sum()          # force execution
             t_compile = time.perf_counter() - t0
             conv = float(np.mean(np.asarray(out.sol.converged)))
+            # burst + final VALUE READ: through the axon tunnel
+            # block_until_ready can return at enqueue (observed both
+            # behaviors), so only a read of the last output reliably
+            # fences the burst; its ~27 ms round-trip amortizes over
+            # the reps (bench.py uses the same discipline)
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 out = f(x0, refs)
-            jax.block_until_ready(out)
+            np.asarray(out.forces).sum()
             dt_call = (time.perf_counter() - t0) / args.reps
             print(json.dumps({
                 "backend": backend, "B": B, "H": args.horizon,

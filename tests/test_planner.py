@@ -4,6 +4,7 @@ f_z ~ mg/4 at rest, KKT-feasible forces)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from apf_quadruped_tpu import gait, planner
 from apf_quadruped_tpu.config import EngineConfig, MpcConfig, SolverConfig
@@ -368,6 +369,7 @@ def test_base_acc_riccati_matches_condensed():
     np.testing.assert_allclose(fr.sum(1), fc.sum(1), atol=5.0)
 
 
+@pytest.mark.slow
 def test_base_acc_resident_matches_scan():
     """base_acc on the PRODUCTION resident kernel (accel rows derived
     in-kernel from the B stream) must agree with the scan backend."""
