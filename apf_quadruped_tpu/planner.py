@@ -338,7 +338,7 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
     # rows Cx x_{k+1} <= cx on the banded Riccati structure — exactly the
     # rows the condensed backend builds on its prediction matrix
     # (cross-validated in tests/test_planner.py)
-    Cxd = cxd = mask_xd = None
+    Cxd = cxd = mask_xd = Cx_np = None
     if mpc.base_box:
         import numpy as _np
         dims = (0, 1, 5)                               # roll, pitch, z
@@ -385,8 +385,8 @@ def _plan_riccati(cfg: EngineConfig, state0, refs: MpcRefs,
             # passed as hashable statics so the sub-packed kernel can
             # unroll their contractions with trace-time sparsity
             g_stat = tuple(map(tuple, blk.tolist()))
-            c_stat = (tuple(map(tuple, np.asarray(Cxd).tolist()))
-                      if Cxd is not None else None)
+            c_stat = (tuple(map(tuple, Cx_np.tolist()))
+                      if Cx_np is not None else None)
             a_stat = None
             if mpc.base_acc:
                 a_stat = tuple(

@@ -70,13 +70,18 @@ def main():
             swing_acc=jnp.zeros((B, 4, 3), dtype))
 
         f = jax.jit(jax.vmap(lambda s, r: wbc.solve(cfg, s, r)))
-        out = jax.block_until_ready(f(sts, refs))
+        out = f(sts, refs)
         conv = float(np.mean(np.asarray(out.sol.converged)))
 
+        # per-call fencing must READ a value: through the axon tunnel
+        # block_until_ready can return at enqueue (see bench.py note), so
+        # each sample includes the ~RTT of one small read — the MARGINAL
+        # scanned latency below is the real-time-relevant number
         times = []
         for _ in range(50):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(sts, refs))
+            out = f(sts, refs)
+            np.asarray(out.tau).sum()
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
         mean_ms = float(times.mean() * 1e3)
@@ -119,12 +124,13 @@ def main():
                 return acc + out.tau, out.sol.converged
             acc, conv = jax.lax.scan(tick, jnp.zeros(12, dtype), dq)
             return acc, conv
-        out = jax.block_until_ready(run(dq))
+        out = run(dq)
+        np.asarray(out[0]).sum()
         ts = []
         for _ in range(20):
             t0 = time.perf_counter()
             out = run(dq)
-            jax.block_until_ready(out)
+            np.asarray(out[0]).sum()          # value read = real fence
             ts.append(time.perf_counter() - t0)
         return np.asarray(ts), float(np.mean(np.asarray(out[1])))
 
