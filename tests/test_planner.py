@@ -397,3 +397,27 @@ def test_base_acc_resident_matches_scan():
                                np.asarray(out_s.forces).sum(1), atol=5.0)
     # solutions carry the 12 extra rows in both backends
     assert out_s.sol.z.shape == out_p.sol.z.shape
+
+
+@pytest.mark.slow
+def test_base_box_resident_through_planner():
+    """The planner's resident-kernel route with base_box must build the
+    static Cx rows from config data (a traced-array static here once
+    crashed under jit) and reproduce the scan backend."""
+    mk = dict(horizon=10, dt=0.05, base_box=True)
+    sol_cfg = SolverConfig(iters=30, reltol=1e-2, abstol=1e-2)
+    cfg_s = EngineConfig(mpc=MpcConfig(**mk, backend="riccati"),
+                         solver=sol_cfg)
+    cfg_p = EngineConfig(mpc=MpcConfig(**mk, backend="riccati_resident"),
+                         solver=sol_cfg)
+    com0 = jnp.array([0.0, 0.0, 0.4])
+    com_des = jnp.array([0.0, 0.0, 0.65])
+    x0 = srb.pack_state(jnp.zeros(3), com0, jnp.zeros(3), jnp.zeros(3))
+    out_s = planner.plan(cfg_s, x0, _acc_refs(cfg_s, com0, com_des))
+    out_p = planner.plan(cfg_p, x0, _acc_refs(cfg_p, com0, com_des))
+    assert bool(out_s.sol.converged) and bool(out_p.sol.converged)
+    np.testing.assert_allclose(np.asarray(out_p.states),
+                               np.asarray(out_s.states), atol=5e-3)
+    # the z box binds on the resident path too
+    z = np.asarray(out_p.states)[:, 5]
+    assert z.max() <= 0.4 + 0.1 + 2e-3
