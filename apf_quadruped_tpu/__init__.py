@@ -17,13 +17,19 @@ Layer map (mirrors SURVEY.md §1 of the reference analysis):
     apf.py        — L6 navigation: per-foot potential fields + robustness index
     foothold.py   — L6/L5 terrain-scored foothold selection (towr's
                     foothold-optimization role inside the RoM box)
-    planner.py    — L5 trajectory optimization: SRB MPC (replaces TOWR+IPOPT)
+    planner.py    — L5 trajectory optimization: SRB MPC (replaces TOWR+IPOPT;
+                    opt-in base_box / base_acc constraint analogues)
     wbc.py        — L4 whole-body tracking QP (replaces the 5 inlined qpSWIFT QPs)
     ops/qpsolve.py— L3 QP solver (replaces qpSWIFT: batched dense Mehrotra IPM)
     ops/riccati.py, ops/pallas_riccati.py, ops/pallas_chol.py
                   — L3 structure-exploiting horizon solver + batch-on-lanes
-                    TPU kernels (warm starting, early exit, state rows)
+                    TPU kernels (warm starting, early exit, state/accel rows)
     models/       — L2 dynamics model (replaces iDynTree: SRB + leg kinematics)
+    gait.py       — the FULL stride library as executable flags (trot, crawls,
+                    walk_overlap, trot_fly, pace, bound, pronk, gallop, limp,
+                    biped/monoped)
+    runtime/      — closed loop (with the in-loop momentum observer), batched
+                    sweeps with checkpoint/resume, metrics, viz, native bindings
     parallel/     — scenario-axis sharding over device meshes
 """
 
