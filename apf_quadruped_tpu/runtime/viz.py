@@ -93,9 +93,14 @@ def plot_metrics(path: str, metrics, title: str = "per-cycle metrics") -> str:
     axes[1, 0].set_ylim(-0.05, 1.05)
     axes[1, 0].legend(fontsize=8)
     axes[1, 0].set_title("solver / contact health")
-    axes[1, 1].plot(t, m["tau_max"], "o-")
+    axes[1, 1].plot(t, m["tau_max"], "o-", label="peak |tau| [Nm]")
     axes[1, 1].axhline(60.0, color="r", ls="--")
-    axes[1, 1].set_title("peak |tau| [Nm]")
+    if "wrench_peak" in m:
+        # observer disturbance estimate (the estimation_ee topic's role)
+        ax3 = axes[1, 1].twinx()
+        ax3.plot(t, m["wrench_peak"], "v-", color="tab:red", alpha=0.6)
+        ax3.set_ylabel("peak |w_est| [N]", color="tab:red")
+    axes[1, 1].set_title("peak |tau| / est. external force")
     for ax in axes.flat:
         ax.set_xlabel("cycle")
         ax.grid(alpha=0.3)
