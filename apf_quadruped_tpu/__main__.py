@@ -93,6 +93,21 @@ def cmd_sweep(args):
 
     cfg = _cfg(args)
     scn = sweep.random_scenarios(cfg, n=args.batch, seed=args.seed)
+    if args.checkpoint:
+        # resumable chunked driver: a killed sweep restarted with the
+        # same --checkpoint picks up at the saved cursor
+        states, m = sweep.run_resumable(cfg, scn, n_cycles=args.cycles,
+                                        ckpt_dir=args.checkpoint)
+        upright = np.asarray(states.sim.R_wb)[:, 2, 2]
+        com = np.asarray(states.sim.p_base)[:, 0:2]
+        gd = np.linalg.norm(com - np.asarray(scn.target_xy), axis=-1)
+        print(f"scenarios={args.batch} cycles={args.cycles} "
+              f"goal_dist mean={gd.mean():.3f} "
+              f"p90={np.percentile(gd, 90):.3f} "
+              f"fell={int((upright < 0.7).sum())} "
+              f"qp_conv={float(np.mean(np.asarray(m.qp_converged))):.2f} "
+              f"slip={float(np.mean(np.asarray(m.slip_ticks))):.3f}")
+        return
     if args.sharded:
         res, stats = sweep.run_sharded(cfg, scn, n_cycles=args.cycles)
         print(json.dumps({k: float(v) for k, v in stats.items()}))
@@ -148,6 +163,10 @@ def main(argv=None):
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--sharded", action="store_true",
                     help="shard over all local devices")
+    ps.add_argument("--checkpoint", default="",
+                    help="checkpoint dir: save the sweep cursor/states "
+                         "every chunk and resume a killed run "
+                         "(runtime.sweep.run_resumable)")
     ps.set_defaults(fn=cmd_sweep)
 
     pb = sub.add_parser("bench", help="headline benchmark")
