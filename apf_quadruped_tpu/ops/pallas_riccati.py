@@ -51,6 +51,27 @@ from .riccati import StageQP, StageSolution, WarmStart
 
 LANES = 128
 
+# Horizon-loop unroll for the RESIDENT kernel's fori_loops.  Mosaic
+# legalizes only unroll=1 or FULL unroll; fully unrolling the horizon
+# lets the scheduler overlap independent work across consecutive knots
+# of the serial Riccati chain — measured +11% at B=1024/H=20 on v5e
+# (133.3k -> 147.7k solves/s, PERF.md) for ~54 s one-time compile
+# (persistent-cached).  Default: FULL on the compiled TPU path, rolled
+# in interpret mode (tracing 20 unrolled factor bodies makes the CPU
+# cross-check tests crawl).  APF_IPM_UNROLL=1 forces rolled everywhere;
+# any other value forces full everywhere.
+import os as _os
+
+_IPM_UNROLL_ENV = _os.environ.get("APF_IPM_UNROLL", "")
+
+
+def _unroll_for(H, interpret):
+    if _IPM_UNROLL_ENV == "1":
+        return 1
+    if _IPM_UNROLL_ENV:
+        return H
+    return 1 if interpret else H
+
 # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit trips at
 # batch >= 256 once double-buffered blocks are counted.  110 MiB leaves
 # headroom for XLA's own scratch while admitting the resident kernel's
@@ -529,7 +550,8 @@ def _solve_fused_impl(qp: StageQP, cfg: SolverConfig, interpret: bool,
 
 def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 w_clip, min_slack, warm_floor, has_warm, sub,
-                g_static=None, c_static=None, acc_static=None):
+                g_static=None, c_static=None, acc_static=None,
+                unroll=1):
     """Whole-IPM kernel body.  Algorithm identical to the 3-kernel driver
     (and to ops.riccati._solve_impl): Mehrotra predictor-corrector,
     sigma = clamp(rho)^pow, fraction-to-boundary, converged lanes freeze.
@@ -876,7 +898,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                                 axis=0)
                         - jnp.sum(k_ref[k] * g_u[:, None], axis=0))
             jax.lax.fori_loop(0, H, bwd, jnp.zeros((nx,) + lt, dt),
-                              unroll=False)
+                              unroll=unroll)
 
         def ratio(v, dv, cur, mk):
             neg = (dv < 0) & (mk > 0)
@@ -934,7 +956,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
             dx0 = jnp.zeros((nx,) + lt, dt)
             inf0 = jnp.full(lt, jnp.inf, dt)
             _, rs, rz_ = jax.lax.fori_loop(0, H, fwd, (dx0, inf0, inf0),
-                                           unroll=False)
+                                           unroll=unroll)
             return rs, rz_
 
         # ---- IPM iterations -------------------------------------------
@@ -961,7 +983,8 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                                     * u_ref[k][None], axis=1))
                     x_ref[k] = xn
                     return xn
-                jax.lax.fori_loop(0, H, fwd, x0_ref[:], unroll=False)
+                jax.lax.fori_loop(0, H, fwd, x0_ref[:],
+                                  unroll=unroll)
 
                 # stage 2: ONE fused backward sweep = residuals/costates
                 # + Riccati factor + predictor backward half.  All three
@@ -1063,7 +1086,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                 _, _, _, rx2, rz2, sz = jax.lax.fori_loop(
                     0, H, fused,
                     (lam0, P0, sv0, 0.0 * fone, 0.0 * fone, 0.0 * fone),
-                    unroll=False)
+                    unroll=unroll)
                 mu = sz / m_eff
                 res = jnp.maximum(jnp.sqrt(rx2) / qnorm,
                                   jnp.sqrt(rz2) / hnorm)
@@ -1202,7 +1225,8 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
                        float(cfg.abstol), float(cfg.sigma_pow),
                        float(cfg.frac_to_boundary), float(cfg.w_clip),
                        float(cfg.min_slack), float(cfg.warm_floor),
-                       has_warm, sub, g_static, c_static, acc_static)
+                       has_warm, sub, g_static, c_static, acc_static,
+                       _unroll_for(H, interpret))
     macc = acc_static is not None
     lt = (LANES,) if sub == 1 else (sub, LANES)
 
