@@ -599,9 +599,9 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
         if macc:
             za_ref, sa_ref = refs[i:i + 2]
             i += 2
-        (l_ref, d_ref, k_ref, rx_ref, gu_ref, rz_ref, w_ref, kff_ref,
-         gdu_ref, dua_ref, dza_ref, dsa_ref, mures_ref) = refs[i:i + 13]
-        i += 13
+        (l_ref, d_ref, k_ref, rx_ref, rz_ref, w_ref, kff_ref,
+         dua_ref, dza_ref, dsa_ref, mures_ref) = refs[i:i + 11]
+        i += 11
         if mc:
             wx_ref, rzx_ref, dzxa_ref, dsxa_ref = refs[i:i + 4]
             i += 4
@@ -763,7 +763,7 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
 
         # ---- shared passes --------------------------------------------
         def rollout_residuals():
-            """fwd rollout -> x_ref; bwd costates -> rx_ref, gu_ref,
+            """fwd rollout -> x_ref; bwd costates -> rx_ref,
             rz_ref, w_ref (+ rzx_ref, wx_ref); returns (mu, res)."""
             def fwd(k, x):
                 Ak = a_ref[k].astype(dt)
@@ -813,7 +813,6 @@ def _ipm_kernel(H, nx, nu, m, mc, iters, reltol, abstol, sigma_pow, frac,
                     sz = sz + jnp.sum(sak * zak, axis=0)
                 rx_ref[k] = rxk
                 guk = const_mul(g_ref, u_ref[k], static=g_static)
-                gu_ref[k] = guk
                 rzk = mk * guk + sk - h_ref[k]
                 rz_ref[k] = rzk
                 w_ref[k] = mk * jnp.clip(
@@ -1292,11 +1291,9 @@ def _ipm_call(cfg, G, GG, rmatf, rmatr, qmat, A, B, qlin, mask, h, x0,
         pltpu.VMEM((H, nu) + lt, dt),       # d
         pltpu.VMEM((H, nu, nx) + lt, dt),   # k
         pltpu.VMEM((H, nu) + lt, dt),       # rx
-        pltpu.VMEM((H, m) + lt, dt),        # gu
         pltpu.VMEM((H, m) + lt, dt),        # rz
         pltpu.VMEM((H, m) + lt, dt),        # w
         pltpu.VMEM((H, nu) + lt, dt),       # kff
-        pltpu.VMEM((H, m) + lt, dt),        # gdu (unused slot)
         pltpu.VMEM((H, nu) + lt, dt),       # dua
         pltpu.VMEM((H, m) + lt, dt),        # dza
         pltpu.VMEM((H, m) + lt, dt),        # dsa
