@@ -87,14 +87,17 @@ def main():
     # Through the axon tunnel block_until_ready can return at enqueue
     # (observed both behaviors across sessions), so only a read of the
     # final output reliably fences the whole burst; the one read's
-    # round-trip (~27 ms) amortizes over the reps.
+    # round-trip (~27 ms) amortizes over the reps.  MEDIAN of 3 bursts:
+    # single bursts vary ~+-6% run-to-run on the shared tunnel.
     n_rep = 50
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = f(x0, refs)
-    np.asarray(out.forces).sum()
-    dt_call = (time.perf_counter() - t0) / n_rep
-    solves_per_s = B / dt_call
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = f(x0, refs)
+        np.asarray(out.forces).sum()
+        rates.append(B * n_rep / (time.perf_counter() - t0))
+    solves_per_s = float(np.median(rates))
 
     print(json.dumps({
         "metric": f"batched_mpc_solves_per_s_h{cfg.mpc.horizon}"
