@@ -161,6 +161,9 @@ def main(argv=None):
     ps.add_argument("--cycles", type=int, default=6)
     ps.add_argument("--iters", type=int, default=15)
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--robot", choices=("dogbot", "anymal", "hyq"),
+                    default="dogbot",
+                    help="closed-loop robot model (models/zoo.py)")
     ps.add_argument("--sharded", action="store_true",
                     help="shard over all local devices")
     ps.add_argument("--checkpoint", default="",
