@@ -196,6 +196,10 @@ def run_resumable(cfg: EngineConfig, scn: Scenario, n_cycles: int,
         if _crash_after is not None and chunks_run >= _crash_after \
                 and done < n_cycles:
             raise RuntimeError(f"simulated preemption after {done} cycles")
+    if not parts:
+        raise ValueError(
+            f"run_resumable: nothing to run or return (n_cycles="
+            f"{n_cycles} with no prior checkpoint progress)")
     return states, _concat_metrics(parts)
 
 
