@@ -116,6 +116,36 @@ def init_batch(cfg: EngineConfig, scn: Scenario):
     return jax.vmap(one)(scn)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_cycles", "mesh"))
+def step_batch_sharded(cfg: EngineConfig, scn: Scenario, states,
+                       n_cycles: int, mesh):
+    """step_batch over a device mesh: the scenario batch AND the loop
+    states are sharded on the scenario axis; each shard advances its
+    lanes locally (shard_map, no cross-device traffic inside a chunk).
+    The chunked driver for MULTI-HOST sweeps (run_resumable(devices=...))
+    — on a pod slice each process computes only its local shard."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import SCENARIO_AXIS
+
+    def per_shard(s, st):
+        def one(si, sti):
+            terr = terrain_mod.Terrain(mu_map=si.mu_map,
+                                       extent=cfg.sim.terrain_extent,
+                                       res=cfg.sim.terrain_res)
+            return loop.run(cfg, sti, terr, si.target_xy, si.dist_sched,
+                            n_cycles)
+
+        return jax.vmap(one)(s, st)
+
+    f = shard_map(per_shard, mesh=mesh,
+                  in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+                  out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+                  check_vma=True)
+    return f(scn, states)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_cycles"))
 def step_batch(cfg: EngineConfig, scn: Scenario, states, n_cycles: int):
     """Advance a batch of LoopStates n_cycles and return (states',
@@ -144,7 +174,7 @@ def _concat_metrics(parts):
 
 def run_resumable(cfg: EngineConfig, scn: Scenario, n_cycles: int,
                   chunk: int = 2, ckpt_dir: str | None = None,
-                  _crash_after: int | None = None):
+                  devices=None, _crash_after: int | None = None):
     """Chunked batch driver with orbax checkpoint/resume (SURVEY.md §5.4
     — the persistence role of the reference's Gazebo state logs,
     DogBotV4/log/*/gzserver/state.log, made useful: a preempted sweep
@@ -159,12 +189,24 @@ def run_resumable(cfg: EngineConfig, scn: Scenario, n_cycles: int,
 
     Returns (final LoopStates, CycleMetrics stacked (B, n_cycles, ...)).
 
+    devices: None = single-device vmap; a device list = shard the batch
+    (and the carried states) over the scenario mesh per chunk
+    (step_batch_sharded) — the MULTI-HOST form of SURVEY.md §5.4's
+    promise: checkpoints gather to host (np.asarray), resume re-shards.
+
     _crash_after: test hook — raise after that many chunks (simulating
     preemption AFTER the save, like a SIGKILL between chunks).
     """
+    from ..parallel import mesh as mesh_mod
     from . import checkpoint, loop
 
+    mesh = None
+    if devices is not None:
+        mesh = mesh_mod.scenario_mesh(devices)
+        scn = mesh_mod.shard_batch(mesh, scn)
     states = init_batch(cfg, scn)
+    if mesh is not None:
+        states = mesh_mod.shard_batch(mesh, states)
     treedef = jax.tree.structure(states)
     mdef = jax.tree.structure(loop.CycleMetrics(*loop.CycleMetrics._fields))
     done = 0
@@ -174,13 +216,18 @@ def run_resumable(cfg: EngineConfig, scn: Scenario, n_cycles: int,
         done = int(raw["cycles_done"])
         states = jax.tree.unflatten(
             treedef, [jnp.asarray(x) for x in raw["state_leaves"]])
+        if mesh is not None:
+            states = mesh_mod.shard_batch(mesh, states)
         if done > 0:
             parts = [jax.tree.unflatten(
                 mdef, [jnp.asarray(x) for x in raw["metric_leaves"]])]
     chunks_run = 0
     while done < n_cycles:
         n = min(chunk, n_cycles - done)
-        states, m = step_batch(cfg, scn, states, n)
+        if mesh is not None:
+            states, m = step_batch_sharded(cfg, scn, states, n, mesh)
+        else:
+            states, m = step_batch(cfg, scn, states, n)
         parts.append(m)
         done += n
         chunks_run += 1

@@ -125,3 +125,32 @@ def test_chunked_step_matches_run_batch():
     np.testing.assert_allclose(com_chunked, np.asarray(res.metrics.com),
                                rtol=0, atol=1e-12)
     assert np.isfinite(np.asarray(states.sim.q)).all()
+
+
+def test_resumable_sharded_survives_kill():
+    """The MULTI-HOST form of the checkpoint/resume subsystem:
+    run_resumable(devices=...) chunks the sweep over the 8-device mesh
+    (step_batch_sharded), checkpoints gather to host, resume re-shards —
+    kill/resume must reproduce the uninterrupted sharded run exactly,
+    and agree with the single-device vmap path physically."""
+    assert len(jax.devices()) == 8
+    scn = sweep.random_scenarios(CFG, n=8, seed=11)
+    devs = jax.devices()
+    st_ref, m_ref = sweep.run_resumable(CFG, scn, n_cycles=4, chunk=2,
+                                        devices=devs)
+    with tempfile.TemporaryDirectory() as d:
+        ck = d + "/shard_ckpt"
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            sweep.run_resumable(CFG, scn, n_cycles=4, chunk=2, ckpt_dir=ck,
+                                devices=devs, _crash_after=1)
+        st2, m2 = sweep.run_resumable(CFG, scn, n_cycles=4, chunk=2,
+                                      ckpt_dir=ck, devices=devs)
+    for a, b in zip(jax.tree.leaves(st2), jax.tree.leaves(st_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(m2), jax.tree.leaves(m_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert m2.com.shape == (8, 4, 3)
+    assert np.isfinite(np.asarray(st2.sim.q)).all()
+    # (sharded-vs-single-device physical equivalence is pinned at 1
+    # cycle by test_sharded_matches_single — at 4 cycles of this tiny
+    # edge-of-stability config, partitioning ulps diverge chaotically)
