@@ -237,7 +237,7 @@ def plan(cfg: EngineConfig, state0, refs: MpcRefs, warm=None) -> MpcPlan:
         VMEM-resident Pallas kernel per solve — factor, predictor and
         corrector vector passes share L/D/K in VMEM (ops.pallas_riccati).
         The production TPU path: measured fastest at every batch size
-        (35.1k solves/s/chip at H=20, B=1024 on v5e, PERF.md r3 sweep)
+        (151k solves/s/chip at H=20, B=1024 on v5e, PERF.md r5 sweep)
       * "riccati_fused": the same IPM with each per-iteration PASS fused
         into its own batch-on-lanes Pallas kernel; L/D/K round-trip HBM
         between kernels (~1-3% slower than resident, kept as the
